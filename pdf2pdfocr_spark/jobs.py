@@ -1,0 +1,88 @@
+"""Job entry point — the spark-submit surface (north_rule packaging).
+
+    spark-submit --py-files pdf2pdfocr_spark.zip -m pdf2pdfocr_spark.jobs \
+        --input /path/corpus --output /path/out --run-id run-42 [flags]
+
+Flags mirror the reference CLI (pdf2pdfocr.py:1413-1491): -t/--check-text,
+-a/--avoid-encrypted, -b/--min-kbytes, -p/--max-pages, -c/--engine,
+-l/--lang, -d/--deskew, -f/--force-rebuild, --ignore-existing-text.
+
+The job composes resume → extract → checkpointed write, so a re-submission
+after a mid-run kill continues where the previous run stopped (never
+double-appends) — the reference's safe-mode/continue-on-error semantics
+(pdf2pdfocr.py:1161-1167, 1531-1533) at cluster scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf2pdfocr_spark import lineage
+from pdf2pdfocr_spark.ocr_engine import OcrConfig
+from pdf2pdfocr_spark.oracle import PipelineConfig
+from pdf2pdfocr_spark.pipeline import build_spark, extract
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    run_id: str,
+    config: PipelineConfig | None = None,
+) -> dict:
+    """resume-filter → extract → checkpointed write; returns run metrics."""
+    config = config or PipelineConfig()
+    remaining = lineage.resume_filter(docs, out_path)
+    processed, quarantine = extract(remaining, config)
+    lineage.write_checkpointed(processed, quarantine, out_path, run_id)
+    lin = lineage.read_lineage(spark, out_path).filter(f"run_id = '{run_id}'")
+    from pyspark.sql import functions as F
+
+    row = lin.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs"),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).alias("spans"),
+    ).collect()[0]
+    return {"run_id": run_id, "n_docs": row["docs"], "n_spans": row["spans"]}
+
+
+def _parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="pdf2pdfocr_spark")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("-t", "--check-text", action="store_true")
+    p.add_argument("-a", "--avoid-encrypted", action="store_true")
+    p.add_argument("-b", "--min-kbytes", type=int, default=0)
+    p.add_argument("-p", "--max-pages", type=int, default=None)
+    p.add_argument("-c", "--engine", default="tesseract")
+    p.add_argument("-l", "--lang", default="eng")
+    p.add_argument("-d", "--deskew", type=float, default=0.0)
+    p.add_argument("-f", "--force-rebuild", action="store_true")
+    p.add_argument("--ignore-existing-text", action="store_true")
+    p.add_argument("--salt-buckets", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = _parse_args(argv)
+    config = PipelineConfig(
+        ocr=OcrConfig(engine=args.engine, lang=args.lang),
+        min_kbytes=args.min_kbytes,
+        max_pages=args.max_pages,
+        check_text_mode=args.check_text,
+        avoid_encrypted=args.avoid_encrypted,
+        ignore_existing_text=args.ignore_existing_text,
+        deskew_threshold=args.deskew,
+        force_rebuild=args.force_rebuild,
+        salt_buckets=args.salt_buckets,
+    )
+    spark = build_spark(app=f"pdf2pdfocr_spark-{args.run_id}")
+    docs = spark.read.parquet(args.input)
+    metrics = run_extraction_job(spark, docs, args.output, args.run_id, config)
+    print(metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Per-partition checkpointed lineage + resume (north_rule requirement).
+
+The reference's resume primitive is the safe-mode output-exists check
+(pdf2pdfocr.py:1161-1167) and its progress tracking is marker files polled
+by glob (160, 985-991). At cluster scale both become tables:
+
+* **checkpoint**: the output table itself, written partitioned by a doc_id
+  hash bucket — the set of done doc_ids.
+* **lineage**: one row per (run_id, doc_bucket) with doc_id range, doc/span
+  counts and status — the per-partition metrics ledger.
+
+Resume = a left-anti join of the input against done doc_ids (F5 analog):
+already-processed documents are never re-OCR'd, and a re-run after a
+mid-run kill produces the identical final table with no duplicate spans
+(tested in tests/test_lineage_resume.py).
+
+run_ids are caller-supplied and deterministic in tests (the reference's
+5-char random temp prefix, pdf2pdfocr.py:501-504, replaced by seeded ids —
+SURVEY.md §7 determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_COLS = (
+    "run_id", "doc_bucket", "min_doc_id", "max_doc_id",
+    "n_docs", "n_spans", "status",
+)
+
+
+def with_bucket(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Iceberg ``bucket(N, doc_id)`` transform analog: xxhash64 pmod N."""
+    return df.withColumn(
+        "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int")
+    )
+
+
+def write_checkpointed(
+    processed: DataFrame,
+    quarantine: DataFrame,
+    out_path: str,
+    run_id: str,
+    buckets: int = 64,
+) -> None:
+    """Append the processed output + quarantine ledger + lineage summary.
+
+    One pass over ``processed`` feeds both the output and (via a cheap
+    re-aggregation of the written files) the lineage rows, so lineage always
+    reflects what actually landed."""
+    out = with_bucket(processed, buckets).withColumn("run_id", F.lit(run_id))
+    out.write.mode("append").partitionBy("doc_bucket").parquet(f"{out_path}/spans")
+
+    q = quarantine.withColumn("run_id", F.lit(run_id))
+    q.write.mode("append").parquet(f"{out_path}/quarantine")
+
+    written = processed.sparkSession.read.parquet(f"{out_path}/spans")
+    lineage = (
+        written.filter(F.col("run_id") == run_id)
+        .groupBy("run_id", "doc_bucket")
+        .agg(
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.lit("committed").alias("status"),
+        )
+    )
+    lineage.write.mode("append").parquet(f"{out_path}/lineage")
+
+
+def done_doc_ids(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """doc_ids already present in the checkpoint (column-pruned scan —
+    parquet reads only the doc_id column)."""
+    try:
+        return spark.read.parquet(f"{out_path}/spans").select("doc_id").distinct()
+    except Exception:  # noqa: BLE001 — first run: no checkpoint yet
+        return None
+
+
+def resume_filter(docs: DataFrame, out_path: str) -> DataFrame:
+    """Left-anti join vs the done set (the F5 primitive, SURVEY.md §2.2):
+    only not-yet-processed documents flow into the pipeline."""
+    done = done_doc_ids(docs.sparkSession, out_path)
+    if done is None:
+        return docs
+    return docs.join(done, "doc_id", "left_anti")
+
+
+def read_output(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.parquet(f"{out_path}/spans")
+
+
+def read_lineage(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.parquet(f"{out_path}/lineage")

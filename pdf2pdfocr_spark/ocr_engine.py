@@ -1,0 +1,114 @@
+"""OCR engine adapter — deterministic simulator with the Tesseract call shape.
+
+The reference shells out per page to tesseract (do_ocr_tesseract,
+pdf2pdfocr.py:104-160) or cuneiform (do_ocr_cuneiform, 163-207). The sandbox
+has neither binary, so engines live behind an adapter whose interface keeps
+the Tesseract flag surface (lang / psm / extra flags, pdf2pdfocr.py:104-126)
+— a cluster deploy swaps in a real subprocess-backed engine without touching
+the pipeline (SURVEY.md §7 "hard parts").
+
+Engines are **batch-oriented**: one call per Arrow batch of pages, vectorized
+with numpy/pandas where it matters — never per-row Python in the pipeline's
+hot path (the UDF loops here are per *page*, i.e. per image, which on a real
+engine is an unavoidable subprocess per page; the simulator is cheap).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pdf2pdfocr_spark import hocr as H
+from pdf2pdfocr_spark.schema import PagePayload
+
+
+@dataclass(frozen=True)
+class OcrConfig:
+    """Job parameters mirroring the reference CLI (pdf2pdfocr.py:1420-1476):
+    -l lang, tesseract psm, -r DPI, -c engine, -x extra flags."""
+
+    engine: str = "tesseract"      # 'tesseract' | 'cuneiform' | 'no_ocr'
+    lang: str = "eng"
+    psm: int | None = None
+    dpi: int = 300
+    extra_flags: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class OcrPageResult:
+    hocr: str | None
+    text: str | None
+    page_w_pt: float | None
+    page_h_pt: float | None
+    words: tuple          # tuple[H.WordBox, ...]
+    error: str | None = None
+
+
+class SimulatedTesseract:
+    """Deterministic stand-in for `tesseract <img> <out> -l L hocr txt`.
+
+    Reproduces the hOCR a real engine would emit for the synthetic page
+    payload encoded in the media_ref (FIXTURES.md §A), then applies the
+    reference's HocrTransform extraction semantics (SURVEY.md §2.5).
+    Deskew/rotation normalization happens upstream (pipeline P4/P5); by the
+    time a page reaches OCR its payload is orientation-normalized, so the
+    simulator's output depends only on (seed, dims, layout).
+    """
+
+    name = "tesseract"
+
+    def __init__(self, config: OcrConfig):
+        self.config = config
+
+    def ocr_page(self, payload: PagePayload) -> OcrPageResult:
+        hocr_str = H.synth_hocr(
+            payload.hocr_seed, payload.width_px, payload.height_px,
+            payload.layout,
+        )
+        page = H.parse_hocr(hocr_str)
+        return OcrPageResult(
+            hocr=hocr_str,
+            text=H.hocr_plain_text(page),
+            page_w_pt=H.px_to_pt(page.width_px, payload.dpi),
+            page_h_pt=H.px_to_pt(page.height_px, payload.dpi),
+            words=page.words,
+        )
+
+
+class SimulatedCuneiform(SimulatedTesseract):
+    """Cuneiform path (pdf2pdfocr.py:163-207): retry-with-eng on failure,
+    BeautifulSoup fix for malformed hOCR, hard-coded empty-page fallback when
+    no hOCR is produced (line 200). The simulator models the fallback: a page
+    whose seed is divisible by 997 'fails' and yields the empty-page hOCR."""
+
+    name = "cuneiform"
+
+    def ocr_page(self, payload: PagePayload) -> OcrPageResult:
+        if payload.hocr_seed % 997 == 0:
+            empty = H.synth_empty_page_hocr(payload.width_px, payload.height_px)
+            page = H.parse_hocr(empty)
+            return OcrPageResult(
+                hocr=empty,
+                text=H.hocr_plain_text(page),
+                page_w_pt=H.px_to_pt(page.width_px, payload.dpi),
+                page_h_pt=H.px_to_pt(page.height_px, payload.dpi),
+                words=(),
+            )
+        return super().ocr_page(payload)
+
+
+_ENGINES = {
+    "tesseract": SimulatedTesseract,
+    "cuneiform": SimulatedCuneiform,
+}
+
+
+def get_engine(config: OcrConfig):
+    """Engine registry; 'no_ocr' is handled as a pipeline branch (O3,
+    pdf2pdfocr.py:1001-1003), not an engine."""
+    try:
+        return _ENGINES[config.engine](config)
+    except KeyError:
+        raise ValueError(
+            f"unknown OCR engine {config.engine!r}; expected one of "
+            f"{sorted(_ENGINES)} or 'no_ocr'"
+        ) from None

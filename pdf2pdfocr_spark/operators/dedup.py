@@ -1,0 +1,288 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hot paths are JVM-side column expressions (hash / explode / groupBy);
+no Python UDFs anywhere in this module. Cross-engine-checkable variants use
+md5 (present in both Spark and DuckDB) so the DuckDB oracle can reproduce
+values bit-for-bit; Spark-only variants use xxhash64 (faster, codegen'd).
+
+Scale notes (100 TB):
+* exact dedup: one shuffle on a 16-byte digest — the minimum possible.
+* MinHash LSH: docs → K minhashes → B bands; candidate generation is a
+  self-join on (band_id, band_hash) buckets, so cost is bounded by bucket
+  population, never |docs|² . Band hashing is `hash()` over a minhash slice.
+* SimHash: token-hash bit-vote via explode + groupBy(doc, bit) — two
+  shuffles, both partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def _tokens(col):
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def normalize_text(col):
+    """Canonical form for fuzzy dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts with >1 member.
+    Output: (content_hash, n_dups, keep_id) — keep the smallest id."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized text."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(
+        F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Word n-gram shingle set per document, built with JVM array functions:
+    tokens → sliding windows via transform over an index sequence."""
+    toks = _tokens(normalize_text(F.col(text_col)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Exploded inverted-index join (shingle → docs), NOT a doc×doc cross join:
+    pairs are generated only for docs sharing ≥1 shingle, then intersection
+    counts come from a groupBy — the standard scalable similarity-join shape.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = with_shingles(docs, n, id_col, text_col)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_sh", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_sh", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _md5_long(col):
+    """First 8 md5 hex chars → long. Reproducible in DuckDB:
+    CAST(('0x' || substr(md5(x),1,8)) AS BIGINT) — the cross-engine hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def with_minhash(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """K minhash values per doc: min over shingles of md5(i || shingle).
+    array_min(transform(...)) — zero shuffles, pure codegen."""
+    sh = with_shingles(docs, n, id_col, text_col)
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: _md5_long(F.concat(F.lit(f"{i}|"), s)),
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified by exact shingle Jaccard.
+
+    band signature = concat of r = K/B minhashes; candidates = docs sharing
+    any band bucket (groupBy band, never doc×doc); verification joins back
+    to shingle sets. Output: (id_a, id_b, jaccard ≥ threshold).
+    """
+    r = num_hashes // bands
+    mh = with_minhash(docs, num_hashes, n, id_col, text_col)
+    band_rows = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.col(f"mh_{b * r + j}") for j in range(r)]
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = with_shingles(docs, n, id_col, text_col)
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def with_simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash: each token votes ±1 on each bit of its md5-derived
+    hash; sign of the column sum is the fingerprint bit. Fully JVM-side:
+    explode(tokens) → groupBy(doc) with one conditional-sum per bit
+    (map-side partial agg keeps the shuffle tiny)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", _md5_long(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
+    generated by banding the fingerprint into (max_hamming+1) chunks — by
+    pigeonhole, any pair within distance d shares ≥1 identical chunk."""
+    fp = with_simhash(docs, bits, id_col, text_col)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), c * chunk_bits
+                        ).bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.val")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("a.simhash").alias("h_a"),
+            F.col("b.doc_id").alias("id_b"), F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

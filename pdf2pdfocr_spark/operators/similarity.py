@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force top-k against a query vector, fully JVM-side
+  (``zip_with`` dot product + ``aggregate`` reduction): the exactness
+  baseline. At 100 TB this is one scan + one top-k (TakeOrdered), no shuffle
+  beyond the final k-row reduce.
+* ``lsh_ann_topk`` — random-hyperplane LSH bucketing: each vector signs
+  against H fixed hyperplanes → an H-bit bucket; the query probes only its
+  bucket (and optional neighbor buckets), turning a full scan into a
+  partition-pruned fraction. Hyperplanes are deterministic (seeded) and
+  generated driver-side once (tiny broadcast literal).
+* ``knn_join`` — top-k neighbours for EVERY vector via bucketed self-join
+  (the scale path for embedding near-dup detection).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _vec_lit(vec: list) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``. Output:
+    (vec_id, score) ordered by (-score, vec_id) — deterministic ties."""
+    q = _vec_lit(query_vec)
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), round_to)
+        .alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list:
+    """Deterministic random hyperplanes (unit-free; only the sign matters)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _bucket_of(vec_col: Column, planes: list) -> Column:
+    bits = [
+        F.when(_dot(vec_col, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    planes: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the random-hyperplane bucket id; at scale, write the table
+    partitioned by this column so probes prune partitions."""
+    return embeddings.withColumn(
+        "lsh_bucket", _bucket_of(F.col(vec_col).cast("array<double>"), planes)
+    )
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list,
+    planes: list,
+    k: int = 10,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
+    n_planes = len(planes)
+    qbits = 0
+    for i, p in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if s >= 0:
+            qbits |= 1 << i
+    probes = {qbits}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qbits ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbits ^ (1 << i) ^ (1 << j))
+
+    bucketed = with_lsh_bucket(embeddings, planes, vec_col)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def knn_join(
+    embeddings: DataFrame,
+    planes: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Top-k neighbours for every vector, candidates restricted to the same
+    LSH bucket (self-join on bucket, window top-k per left id). The bucketed
+    join bounds the pair count; skewed buckets are handled by AQE skew-join.
+    Output: (vec_id, neighbour_id, score)."""
+    b = with_lsh_bucket(embeddings, planes, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "lsh_bucket",
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "lsh_bucket")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbour_id"),
+            F.round(cosine_sim(F.col("a.v"), F.col("b.v")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbour_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    planes: list,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score ≥ threshold), LSH-bucketed
+    — the embedding leg of the dedup suite."""
+    nn = knn_join(embeddings, planes, k=20, id_col=id_col, vec_col=vec_col)
+    return (
+        nn.filter((F.col("score") >= threshold) & (F.col("vec_id") < F.col("neighbour_id")))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbour_id").alias("id_b"),
+            "score",
+        )
+        .distinct()
+    )

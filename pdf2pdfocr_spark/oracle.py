@@ -1,0 +1,169 @@
+"""Single-document pure-Python oracle (no Spark).
+
+Distills the reference's per-document flow (Pdf2PdfOcr.ocr(),
+pdf2pdfocr.py:694-760) into a referentially-transparent function: the golden
+generator for span-sequence equality tests (SURVEY.md §5.1) and the
+normative definition of the pipeline's output contract.
+
+Output contract — for each input span in offset order:
+
+* native ``text`` span → emitted as-is (unless ``ignore_existing_text``,
+  which drops native text before OCR, mirroring ``gs -dFILTERTEXT``,
+  pdf2pdfocr.py:1104-1111);
+* ``image`` span, blank (payload ``n_colors == 1``) → the image span is
+  emitted with no text (blank pages skip OCR and are re-inserted as empty
+  pages, pdf2pdfocr.py:1005-1016, 993-997);
+* ``image`` span, engine ``no_ocr`` → emitted as-is (O3 passthrough,
+  pdf2pdfocr.py:1001-1003);
+* ``image`` span otherwise → the image span, then one ``text`` span per
+  non-empty hOCR word in hOCR document order (the sandwich: original page
+  + invisible text layer, pdf2pdfocr.py:769-805) with ligatures normalized;
+
+and final offsets renumbered 0..n-1 (reading order). ``doc_text`` is the
+byte-concat of per-page txt outputs in page order (create_text_output,
+pdf2pdfocr.py:928-940).
+
+Admission gates run in the reference's order (pdf2pdfocr.py:694-710):
+min_size(697) → corrupt(1169-1175) → has_text under -t (1192-1194) →
+encrypted under -a (1196-1198) → safe-mode output-exists (1161-1167) →
+max_pages(710). A gated/failed document is quarantined with a reason and the
+batch continues (pdf2pdfocr.py:1531-1533) — never a job abort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pdf2pdfocr_spark import hocr as H
+from pdf2pdfocr_spark.ocr_engine import OcrConfig, get_engine
+from pdf2pdfocr_spark.schema import PagePayload
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Mirrors the reference CLI flag surface (pdf2pdfocr.py:1413-1491)."""
+
+    ocr: OcrConfig = field(default_factory=OcrConfig)
+    min_kbytes: int = 0              # -b (check_avoid_file_by_size, 1207-1213)
+    max_pages: int | None = None     # -p (check_avoid_high_pages, 1200-1205)
+    check_text_mode: bool = False    # -t reject docs that already have text
+    avoid_encrypted: bool = False    # -a
+    safe_mode: bool = False          # -s skip docs already in the done set
+    ignore_existing_text: bool = False  # --ignore-existing-text
+    deskew_threshold: float = 0.0    # -d (deskew forces rebuild, 762-764)
+    force_rebuild: bool = False      # -f
+    salt_buckets: int = 8            # X2 page-skew salting (Spark side only)
+
+
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def _span(kind: str, text: str, media_ref: str, offset: int) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def doc_size_kb(spans: list) -> float:
+    """Document size proxy for the -b gate: utf-8 payload bytes / 1024."""
+    return sum(
+        len(s["text"].encode("utf-8")) + len(s["media_ref"].encode("utf-8"))
+        for s in spans
+    ) / 1024.0
+
+
+def extract_document(
+    doc: dict,
+    config: PipelineConfig,
+    done_doc_ids: frozenset = frozenset(),
+) -> dict:
+    """Run the full reference-equivalent flow for one document.
+
+    Returns ``{doc_id, skip_reason, spans, doc_text, n_pages, rebuild}``;
+    ``skip_reason`` is None for successfully processed docs, otherwise one of
+    min_size / corrupt / has_text / encrypted / output_exists / max_pages.
+    """
+    doc_id = doc["doc_id"]
+    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    meta = doc.get("meta") or {}
+
+    def skipped(reason: str) -> dict:
+        return {
+            "doc_id": doc_id, "skip_reason": reason, "spans": None,
+            "doc_text": None, "n_pages": 0, "rebuild": False,
+        }
+
+    # --- admission gates, reference order -----------------------------------
+    if config.min_kbytes and doc_size_kb(spans) < config.min_kbytes:
+        return skipped("min_size")
+
+    image_spans = [s for s in spans if s["kind"] == "image"]
+    payloads = {}
+    for s in image_spans:
+        try:
+            payloads[s["offset"]] = PagePayload.from_ref(s["media_ref"])
+        except ValueError:
+            return skipped("corrupt")
+
+    has_text = any(s["kind"] == "text" for s in spans)  # S4 probe (1215-1227)
+    if config.check_text_mode and has_text:
+        return skipped("has_text")
+
+    encrypted = meta.get("encrypted") == "true"
+    if config.avoid_encrypted and encrypted:
+        return skipped("encrypted")
+
+    if config.safe_mode and doc_id in done_doc_ids:
+        return skipped("output_exists")
+
+    if config.max_pages is not None and len(image_spans) > config.max_pages:
+        return skipped("max_pages")
+
+    # --- rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767) -----
+    any_skew = any(p.skew_pct > 0 for p in payloads.values())
+    rebuild = bool(
+        encrypted
+        or config.force_rebuild
+        or (config.deskew_threshold > 0 and any_skew)
+    )
+
+    # --- per-page OCR + interleaved emission ---------------------------------
+    engine = None if config.ocr.engine == "no_ocr" else get_engine(config.ocr)
+    out: list = []
+    page_texts: list = []
+    for s in spans:
+        if s["kind"] == "text":
+            if config.ignore_existing_text:
+                continue
+            out.append(_span("text", s["text"], "", -1))
+            continue
+        payload = payloads[s["offset"]]
+        out.append(_span("image", "", s["media_ref"], -1))
+        if engine is None or payload.is_blank:
+            continue
+        result = engine.ocr_page(payload)
+        page_texts.append(result.text)
+        for w in result.words:
+            out.append(_span("text", w.text, "", -1))
+
+    for i, s in enumerate(out):  # renumber reading order
+        s["offset"] = i
+
+    return {
+        "doc_id": doc_id,
+        "skip_reason": None,
+        "spans": out,
+        "doc_text": "".join(page_texts),
+        "n_pages": len(image_spans),
+        "rebuild": rebuild,
+    }
+
+
+def extract_corpus(docs: list, config: PipelineConfig, done=frozenset()) -> dict:
+    """Oracle over a corpus → {doc_id: result}; continue-on-error semantics
+    (per-doc failure never stops the batch, pdf2pdfocr.py:1531-1533)."""
+    return {d["doc_id"]: extract_document(d, config, done) for d in docs}
+
+
+def span_tuples(spans: list) -> list:
+    """Canonical (kind, text, media_ref, order) tuples — the per-row
+    invariant of BASELINE.json input_hint."""
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]

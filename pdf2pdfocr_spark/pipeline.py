@@ -1,0 +1,417 @@
+"""The extraction pipeline — one lazy DataFrame plan, Spark-first.
+
+Stage map (reference cites per SURVEY.md §2):
+
+1. ``probe_text_layer``  — S4 pdffonts probe → ``F.exists`` on the span array
+2. ``apply_gates``       — F1-F5 admission gates → ``skip_reason`` column
+                           (quarantine rows kept for lineage, never job abort)
+3. ``explode_pages``     — P1/P2 page fan-out → ``posexplode``-style explode of
+                           image spans; payload fields decoded JVM-side via
+                           ``regexp_extract`` (blank/rotation/skew gates F6/P4/P5
+                           never touch Python)
+4. ``salted_repartition``— X2: defeat page-count skew (one 10k-page doc must
+                           not become one task)
+5. ``run_ocr``           — O1/O2 ``mapInPandas`` Arrow-batched OCR + hOCR parse
+                           (H1-H6) behind the engine adapter
+6. ``reassemble``        — R1/R2/R3: groupBy(doc_id) ordered aggregation, then
+                           interleaved (text, media_ref) emission in reading
+                           order, offsets renumbered — all JVM-side
+
+Everything outside stage 5 is Catalyst built-ins (codegen'd); stage 5 is the
+sanctioned Arrow escape hatch. No custom Catalyst rules (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf2pdfocr_spark.ocr_engine import get_engine
+from pdf2pdfocr_spark.oracle import PipelineConfig
+from pdf2pdfocr_spark.schema import OCR_PAGE_RESULT_SCHEMA, PagePayload
+
+# JVM-side validity check for media payloads (same shape schema.MEDIA_REF_RE
+# matches driver-side; kept as a Java-regex literal for Column.rlike).
+MEDIA_REF_JRE = (
+    r"^sim://w=\d+;h=\d+;dpi=\d+;colors=\d+;rot=\d+;skew=[0-9.]+;"
+    r"layout=[a-z_]+;seed=\d+$"
+)
+
+def SPAN() -> Column:
+    # F.col needs an active session in classic mode — resolve lazily
+    return F.col("spans")
+
+
+def _payload_field(ref: Column, key: str) -> Column:
+    return F.regexp_extract(ref, rf"{key}=(\d+)", 1)
+
+
+def sorted_by_offset(arr: Column) -> Column:
+    """Sort a span array by its ``offset`` field. A bare ``array_sort`` on a
+    struct array compares fields in declaration order (kind first) — wrong;
+    reading order is defined ONLY by offset (SURVEY.md §1.2: never rely on
+    row or byte order)."""
+    return F.transform(
+        F.array_sort(
+            F.transform(arr, lambda s: F.struct(s["offset"].alias("o"), s.alias("s")))
+        ),
+        lambda t: t["s"],
+    )
+
+
+# --------------------------------------------------------------------------
+# 1-2. probe + gates (pure column expressions → whole-stage codegen)
+# --------------------------------------------------------------------------
+
+def probe_text_layer(docs: DataFrame) -> DataFrame:
+    """S4: does the document already have a text layer? The reference shells
+    to pdffonts (pdf2pdfocr.py:1215-1227); here the span schema makes it an
+    array predicate."""
+    return docs.withColumn(
+        "has_text", F.exists(SPAN(), lambda s: s["kind"] == F.lit("text"))
+    )
+
+
+def apply_gates(
+    docs: DataFrame,
+    config: PipelineConfig,
+    done_docs: DataFrame | None = None,
+) -> DataFrame:
+    """F1-F5 in the reference's evaluation order (pdf2pdfocr.py:694-710):
+    min_size → corrupt → has_text(-t) → encrypted(-a) → output_exists(safe)
+    → max_pages. Emits ``skip_reason`` (null = admitted) so excluded rows
+    stay visible to lineage/metrics (north_rule)."""
+    df = probe_text_layer(docs)
+
+    size_kb = (
+        F.aggregate(
+            SPAN(),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.octet_length(s["text"]) + F.octet_length(s["media_ref"]),
+        )
+        / F.lit(1024.0)
+    )
+    corrupt = F.exists(
+        SPAN(),
+        lambda s: (s["kind"] == F.lit("image")) & ~s["media_ref"].rlike(MEDIA_REF_JRE),
+    )
+    encrypted = F.coalesce(F.col("meta")["encrypted"] == "true", F.lit(False))
+    n_pages = F.size(F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")))
+    df = df.withColumn("n_pages", n_pages).withColumn("encrypted", encrypted)
+
+    if config.safe_mode and done_docs is not None:
+        # F5 safe mode: output already exists → skip. The left join (vs a
+        # bare anti-join) keeps the row for the quarantine ledger; pure
+        # resume uses lineage.resume_filter's left_anti instead.
+        done = done_docs.select(
+            F.col("doc_id").alias("doc_id"), F.lit(True).alias("_done")
+        )
+        df = df.join(F.broadcast(done), "doc_id", "left")
+    else:
+        df = df.withColumn("_done", F.lit(None).cast("boolean"))
+
+    reason = (
+        F.when(
+            F.lit(config.min_kbytes > 0) & (size_kb < F.lit(float(config.min_kbytes))),
+            F.lit("min_size"),
+        )
+        .when(corrupt, F.lit("corrupt"))
+        .when(F.lit(config.check_text_mode) & F.col("has_text"), F.lit("has_text"))
+        .when(F.lit(config.avoid_encrypted) & F.col("encrypted"), F.lit("encrypted"))
+        .when(F.coalesce(F.col("_done"), F.lit(False)), F.lit("output_exists"))
+    )
+    if config.max_pages is not None:
+        reason = reason.when(
+            F.col("n_pages") > F.lit(config.max_pages), F.lit("max_pages")
+        )
+    return df.withColumn("skip_reason", reason).drop("_done")
+
+
+# --------------------------------------------------------------------------
+# 3-4. page fan-out + skew-defeating salt
+# --------------------------------------------------------------------------
+
+def explode_pages(admitted: DataFrame, config: PipelineConfig) -> DataFrame:
+    """P1/P2: one row per image span. Payload fields decode JVM-side so the
+    blank gate (F6) and orientation/skew metadata (P4/P5) cost no Python."""
+    pages = admitted.select(
+        "doc_id",
+        F.explode(F.filter(SPAN(), lambda s: s["kind"] == F.lit("image"))).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    return pages.withColumn(
+        "n_colors", _payload_field(F.col("media_ref"), "colors").cast("int")
+    ).withColumn(
+        "rotation", _payload_field(F.col("media_ref"), "rot").cast("int")
+    ).withColumn(
+        "skew_pct",
+        F.regexp_extract(F.col("media_ref"), r"skew=([0-9.]+)", 1).cast("double"),
+    ).withColumn("is_blank", F.col("n_colors") == 1)
+
+
+def salted_repartition(pages: DataFrame, num_partitions: int, salt_buckets: int) -> DataFrame:
+    """X2: hash-partition on (doc_id, offset-salt) so a single huge document's
+    pages spread over ``salt_buckets`` partitions instead of hot-spotting one
+    (the reference's contiguous page-range split, pdf2pdfocr.py:1306-1331,
+    re-expressed as a shuffle)."""
+    return pages.repartition(
+        num_partitions,
+        F.col("doc_id"),
+        F.pmod(F.col("offset"), F.lit(salt_buckets)).alias("_salt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. OCR + hOCR extraction (the Arrow escape hatch)
+# --------------------------------------------------------------------------
+
+def run_ocr(pages: DataFrame, config: PipelineConfig) -> DataFrame:
+    """O1/O2 + H1-H6 in one ``mapInPandas`` pass: per Arrow batch, decode the
+    page payload, run the (pluggable) OCR engine, parse hOCR to ordered word
+    boxes. Per-page failures become ``error`` rows (quarantine, R7) — the
+    batch never dies (pdf2pdfocr.py:1531-1533 semantics)."""
+    ocr_cfg = config.ocr  # capture the small dataclass, not `config`'s frame
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = get_engine(ocr_cfg)
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "page_text": [None] * n,
+                "word_spans": [None] * n,
+                "page_w_pt": [None] * n,
+                "page_h_pt": [None] * n,
+                "error": [None] * n,
+            }
+            for i, ref in enumerate(pdf["media_ref"]):
+                try:
+                    payload = PagePayload.from_ref(ref)
+                    res = engine.ocr_page(payload)
+                    out["page_text"][i] = res.text
+                    out["word_spans"][i] = [
+                        {"text": w.text, "x1": w.x1, "y1": w.y1,
+                         "x2": w.x2, "y2": w.y2}
+                        for w in res.words
+                    ]
+                    out["page_w_pt"][i] = res.page_w_pt
+                    out["page_h_pt"][i] = res.page_h_pt
+                except Exception as exc:  # noqa: BLE001 — quarantine, not abort
+                    out["error"][i] = f"{type(exc).__name__}: {exc}"
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(ocr_batches, schema=OCR_PAGE_RESULT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# 6. ordered reassembly + interleaved emission (JVM-side)
+# --------------------------------------------------------------------------
+
+def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
+    """R1/R2/R3: per-doc ordered aggregation of page results, then the
+    interleaved sandwich merge — each original span in offset order; image
+    spans followed by their OCR'd word spans; offsets renumbered. Page order
+    comes from ``array_sort`` on (offset, ...) structs, never row order
+    (pdf2pdfocr.py:707's lexicographic-filename invariant made explicit)."""
+    pages_by_doc = ocr_results.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "page_text", "word_spans"))
+        ).alias("pages"),
+        F.max("error").alias("page_error"),
+    )
+
+    joined = admitted.join(pages_by_doc, "doc_id", "left").withColumn(
+        "pages", F.coalesce(F.col("pages"), F.array())
+    )
+
+    page_map = F.map_from_entries(
+        F.transform(
+            F.col("pages"),
+            lambda p: F.struct(p["offset"].alias("k"), p.alias("v")),
+        )
+    )
+    joined = joined.withColumn("page_map", page_map)
+
+    def emit(s: Column) -> Column:
+        words = F.coalesce(
+            F.element_at(F.col("page_map"), s["offset"])["word_spans"], F.array()
+        )
+        text_spans = F.transform(
+            words,
+            lambda w: F.struct(
+                F.lit("text").alias("kind"),
+                w["text"].alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(-1).alias("offset"),
+            ),
+        )
+        self_span = F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            F.lit(-1).alias("offset"),
+        )
+        return F.when(
+            s["kind"] == F.lit("image"),
+            F.concat(F.array(self_span), text_spans),
+        ).otherwise(F.array(self_span))
+
+    raw_spans = F.flatten(
+        F.transform(sorted_by_offset(F.col("spans")), emit)
+    )
+    renumbered = F.transform(
+        raw_spans,
+        lambda x, i: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    doc_text = F.concat_ws(
+        "", F.transform(F.col("pages"), lambda p: p["page_text"])
+    )
+    return joined.select(
+        "doc_id",
+        renumbered.alias("spans"),
+        doc_text.alias("doc_text"),
+        "n_pages",
+        F.col("rebuild"),
+        F.col("page_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# full pipeline
+# --------------------------------------------------------------------------
+
+def extract(
+    docs: DataFrame,
+    config: PipelineConfig | None = None,
+    done_docs: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """documents → (processed, quarantine). Lazy: nothing executes until an
+    action; Catalyst keeps the gates upstream of the Arrow stage (predicate
+    pushdown analog of the reference's gate-before-rasterize ordering)."""
+    config = config or PipelineConfig()
+    if config.ocr.engine != "no_ocr":
+        get_engine(config.ocr)  # validate engine name eagerly, driver-side
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if "meta" not in docs.columns:
+        docs = docs.withColumn("meta", F.create_map().cast("map<string,string>"))
+
+    gated = apply_gates(docs, config, done_docs)
+
+    # rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767)
+    any_skew = F.exists(
+        SPAN(),
+        lambda s: (s["kind"] == F.lit("image"))
+        & (F.regexp_extract(s["media_ref"], r"skew=([0-9.]+)", 1).cast("double") > 0),
+    )
+    gated = gated.withColumn(
+        "rebuild",
+        F.col("encrypted")
+        | F.lit(config.force_rebuild)
+        | (F.lit(config.deskew_threshold > 0) & any_skew),
+    )
+
+    admitted = gated.filter(F.col("skip_reason").isNull())
+    quarantined_by_gate = gated.filter(F.col("skip_reason").isNotNull()).select(
+        "doc_id", "skip_reason", "spans"
+    )
+
+    if config.ignore_existing_text:
+        # gs -dFILTERTEXT analog (pdf2pdfocr.py:1104-1111): drop native text
+        admitted = admitted.withColumn(
+            "spans", F.filter(SPAN(), lambda s: s["kind"] == F.lit("image"))
+        )
+
+    if config.ocr.engine == "no_ocr":
+        # O3 passthrough: identity projection, offsets renumbered
+        processed = admitted.select(
+            "doc_id",
+            F.transform(
+                sorted_by_offset(SPAN()),
+                lambda x, i: F.struct(
+                    x["kind"].alias("kind"), x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+            F.lit("").alias("doc_text"),
+            "n_pages",
+            "rebuild",
+        )
+        return processed, quarantined_by_gate
+
+    pages = explode_pages(admitted, config)
+    ocr_input = pages.filter(~F.col("is_blank"))  # F6/F7 blank skip
+    ocr_input = salted_repartition(ocr_input, num_partitions, config.salt_buckets)
+    ocr_results = run_ocr(ocr_input, config)
+
+    assembled = reassemble(admitted, ocr_results)
+    processed = assembled.filter(F.col("page_error").isNull()).drop("page_error")
+    quarantine = quarantined_by_gate.unionByName(
+        assembled.filter(F.col("page_error").isNotNull()).select(
+            "doc_id", F.col("page_error").alias("skip_reason"), "spans"
+        )
+    )
+    return processed, quarantine
+
+
+def build_spark(app: str = "pdf2pdfocr_spark", master: str | None = None,
+                cores: int = 32, shuffle_partitions: int | None = None) -> SparkSession:
+    """Session tuned for the sandbox (local mode); on a real cluster these
+    arrive via spark-submit --conf (north_rule packaging)."""
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # per-task thread clamp, reference X4 (pdf2pdfocr.py:1406,1410)
+        .config("spark.executorEnv.OMP_THREAD_LIMIT", "1")
+        .config("spark.executorEnv.MAGICK_THREAD_LIMIT", "1")
+    )
+    if master:
+        b = b.master(master)
+    elif not SparkSession.getActiveSession():
+        b = b.master(f"local[{cores}]")
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers regardless of
+    the driver's cwd — the in-process equivalent of
+    ``spark-submit --py-files pdf2pdfocr_spark.zip`` (north_rule packaging).
+    Idempotent per session."""
+    import os
+    import shutil
+    import tempfile
+
+    if getattr(spark, "_pdf2pdfocr_pyfiles_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.mkdtemp(prefix="pdf2pdfocr_pyfiles_"),
+                        "pdf2pdfocr_spark")
+    zip_path = shutil.make_archive(
+        base, "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    spark._pdf2pdfocr_pyfiles_shipped = True

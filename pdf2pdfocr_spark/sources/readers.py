@@ -1,0 +1,84 @@
+"""Corpus sources (S1-S3) and sinks (S5-S6).
+
+The engine's canonical source is the Iceberg documents table; the sandbox
+image ships no Iceberg jars, so the reader falls back to the parquet layout
+``write_corpus`` produces (hash-bucketed by doc_id — the ``bucket(doc_id)``
+partition transform analog). A raw-file ingest path mirrors the reference's
+directory walk + mime sniff (pdf2pdfocr.py:1493-1500, 1229-1236) using
+Spark's binaryFile source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# mime whitelist, reference pdf2pdfocr.py:1102,1133
+ACCEPTED_MIME_PREFIXES = ("application/pdf", "image/tiff", "image/jpeg", "image/png")
+
+MAGIC = {
+    "25504446": "application/pdf",    # %PDF
+    "49492a00": "image/tiff",
+    "4d4d002a": "image/tiff",
+    "ffd8ff": "image/jpeg",
+    "89504e47": "image/png",
+}
+
+
+def read_documents(spark: SparkSession, path: str, table_format: str = "auto") -> DataFrame:
+    """S1 corpus scan. ``table_format``: 'iceberg' | 'parquet' | 'auto'."""
+    if table_format == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if table_format == "auto":
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:  # noqa: BLE001 — no Iceberg jars in sandbox
+            pass
+    return spark.read.parquet(path)
+
+
+def sniff_mime(content_col) -> "F.Column":
+    """S2 mime sniff on magic bytes — the `file -b --mime-type` analog
+    (pdf2pdfocr.py:1229-1236), as a JVM-side expression over binary."""
+    head = F.lower(F.hex(F.substring(content_col, 1, 4)))
+    expr = F.lit("application/octet-stream")
+    for magic, mime in MAGIC.items():
+        expr = F.when(head.startswith(magic.upper()) | head.startswith(magic),
+                      F.lit(mime)).otherwise(expr)
+    return expr
+
+
+def ingest_raw_files(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Directory-walk ingest (S1/S2): binaryFile scan → (path, mime,
+    accepted). Rejected files carry accepted=false (quarantine, F-gates
+    style) rather than failing the read — reference rejects per file
+    (pdf2pdfocr.py:1139-1141)."""
+    raw = spark.read.format("binaryFile").load(glob_path)
+    mime = sniff_mime(F.col("content"))
+    accepted = F.lit(False)
+    for p in ACCEPTED_MIME_PREFIXES:
+        accepted = accepted | mime.startswith(p)
+    return raw.select(
+        F.col("path").alias("source_path"),
+        F.col("length").alias("size_bytes"),
+        mime.alias("mime"),
+        accepted.alias("accepted"),
+    )
+
+
+def write_spans(df: DataFrame, path: str, buckets: int = 64,
+                mode: str = "append") -> None:
+    """S5 sink: Iceberg-style bucketed parquet append (real deploys:
+    ``df.writeTo(tbl).append()``)."""
+    (
+        df.withColumn("doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
+        .write.mode(mode)
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    )
+
+
+def text_output(processed: DataFrame) -> DataFrame:
+    """S6 text sink projection: (doc_id, doc_text) — the concatenated
+    per-page text in page order (create_text_output, pdf2pdfocr.py:928-940)."""
+    return processed.select("doc_id", "doc_text")
