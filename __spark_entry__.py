@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (interleaved
+documents derived from the sf0.001 testdata → OCR-to-spans) and returns a
+per-document summary. ``queries()``/``oracle_sql()`` expose the SURVEY.md §2
+operator inventory over the driver testdata, checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -12,27 +11,82 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OCR-to-spans pipeline over interleaved docs derived from the
+    driver's documents.parquet; summary row per document (spark-only check —
+    the OCR simulator is not SQL-expressible; golden correctness is enforced
+    by the pytest oracle suite instead)."""
+    from pdf2pdfocr_spark.corpus import documents_from_testdata
+    from pdf2pdfocr_spark.pipeline import _ship_package, extract
+
+    _ship_package(spark)
+    docs = documents_from_testdata(spark, sf_dir)
+    processed, _quarantine = extract(docs)
+    return processed.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.md5(F.col("doc_text")).alias("text_hash"),
+    )
+
+
+def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (spark-only: bucket
+    membership depends on seeded hyperplanes, not SQL-expressible tersely)."""
+    from pdf2pdfocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    planes = similarity.hyperplanes(dim=len(qvec), n_planes=8, seed=42)
+    return similarity.lsh_ann_topk(emb, qvec, planes, k=10)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing over a deterministic fake media
+    table (spark-only: binary decode is not SQL-expressible)."""
+    from pdf2pdfocr_spark.operators import multimodal
+    from pdf2pdfocr_spark.pipeline import _ship_package
+
+    _ship_package(spark)
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_frames_sampled", "error",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4)
+        .alias("feature_sum"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    return _flagship(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import sys
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    sys.path.insert(0, "/root/repo")
+    from pdf2pdfocr_spark.plans.entry_queries import QUERIES
+
+    out = dict(QUERIES)
+    out["flagship_extract_spans"] = _flagship
+    out["sim_lsh_ann_topk"] = _lsh_ann
+    out["multimodal_features"] = _multimodal_features
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pdf2pdfocr_spark.plans.entry_queries import ORACLES
+
+    return dict(ORACLES)

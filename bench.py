@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) plus the
+flagship extraction pipeline over a deterministic synthetic corpus, and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Scaling mode (``--scaling``): runs the identical flagship job at two
+parallelism levels (local[8] = N, local[32] = 4N) in separate JVMs on the
+same input and writes docs/sec + scaling efficiency to BENCH/BASELINE.md
+(the sandbox protocol for the north_rule's N→4N ≥0.8 criterion; see
+BASELINE.md "Measurement protocol").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "tpch_q1_agg",
+    "r1_ordered_concat",
+    "r3_merge_join",
+    "topk_per_group",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_quality",
+    "text_fingerprint",
+)
+
+BENCH_DOCS = 2500        # flagship corpus size (power-law pages, ~1% huge)
+HUGE_EVERY = 100
+HUGE_PAGES = 120
+
+
+def build_session(cores: int):
+    from pdf2pdfocr_spark.pipeline import build_spark
+
+    spark = build_spark(
+        app=f"bench-local{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_flagship(spark, n_docs: int) -> tuple:
+    """Extraction pipeline docs/sec over the deterministic bench corpus."""
+    from pdf2pdfocr_spark import corpus
+    from pdf2pdfocr_spark.oracle import PipelineConfig
+    from pdf2pdfocr_spark.pipeline import extract
+
+    rows = corpus.synth_documents(
+        n_docs, huge_doc_every=HUGE_EVERY, huge_doc_pages=HUGE_PAGES
+    )
+    docs = corpus.corpus_df(spark, rows, partitions=64)
+    docs = docs.localCheckpoint()  # exclude synth/createDataFrame cost
+    t0 = time.perf_counter()
+    processed, _q = extract(docs, PipelineConfig())
+    n_out = processed.count()
+    dt = time.perf_counter() - t0
+    return n_out, dt
+
+
+def run_operator_queries(spark, sf_dir: str) -> dict:
+    from pdf2pdfocr_spark.plans.entry_queries import QUERIES
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main_bench(args) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = build_session(cores)
+
+    timings = run_operator_queries(spark, sf_dir)
+    n_docs, dt = run_flagship(spark, args.n_docs)
+    timings["flagship_extract"] = round(dt, 3)
+    docs_per_sec = round(n_docs / dt, 2)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "flagship_docs": n_docs,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_corpus_only(args) -> None:
+    spark = build_session(args.cores)
+    n_docs, dt = run_flagship(spark, args.n_docs)
+    print(json.dumps({"cores": args.cores, "docs": n_docs, "sec": round(dt, 3),
+                      "docs_per_sec": round(n_docs / dt, 3)}))
+    spark.stop()
+
+
+def main_scaling(args) -> None:
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--corpus-only",
+             "--cores", str(cores), "--n-docs", str(args.n_docs)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+
+    tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = round((tp32 / tp8) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — scaling measurement (sandbox protocol)\n\n"
+            "Same flagship extraction job (OCR-to-spans over the "
+            f"{args.n_docs}-doc deterministic corpus, power-law page counts, "
+            "1% huge docs) at two parallelism levels, per BASELINE.md's "
+            "measurement protocol (N = local[8], 4N = local[32]):\n\n"
+            "| cores | docs | wall (s) | docs/sec |\n|---|---|---|---|\n"
+            f"| 8 (N) | {results[8]['docs']} | {results[8]['sec']} | {tp8} |\n"
+            f"| 32 (4N) | {results[32]['docs']} | {results[32]['sec']} | {tp32} |\n\n"
+            f"**Scaling efficiency = (throughput_4N / throughput_N) / 4 = {eff}**"
+            f" (target ≥ 0.8)\n"
+        )
+    print(json.dumps({"metric": "scaling_efficiency", "value": eff,
+                      "unit": "ratio", "queries": {}, "sf": 0,
+                      "throughput_8": tp8, "throughput_32": tp32}))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--corpus-only", action="store_true")
+    p.add_argument("--cores", type=int, default=32)
+    p.add_argument("--n-docs", type=int, default=BENCH_DOCS)
+    a = p.parse_args()
+    if a.scaling:
+        main_scaling(a)
+    elif a.corpus_only:
+        main_corpus_only(a)
+    else:
+        main_bench(a)

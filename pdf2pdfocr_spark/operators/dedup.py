@@ -118,15 +118,14 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("doc_id", "id_b")
               .withColumnRenamed("n_sh", "sz_b"), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
+            "_j",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # filter on the raw double, round only for output — keeps the
+        # admit/reject decision bit-identical with the DuckDB oracle
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_j"), 6).alias("jaccard"))
     )
 
 

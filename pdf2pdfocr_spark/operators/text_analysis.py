@@ -70,12 +70,17 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 4)
     sw_ratio = F.round(stopword_ratio(t), 4)
+    # rounded to 6, not 4: the score is an exact multiple of 0.000025 (sum of
+    # products of scale-4 inputs), so scale-4 rounding sits exactly on decimal
+    # ties where Spark (BigDecimal half-up on the double's exact expansion)
+    # and other engines (scaled-double rounding) disagree; at scale 6 the
+    # value terminates and no tie exists.
     score = F.round(
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.25)
         + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.25).otherwise(0.0)
         + F.least(sw_ratio * 5, F.lit(1.0)) * F.lit(0.25)
         + alpha_ratio * F.lit(0.25),
-        4,
+        6,
     )
     return docs.select(
         "*",
@@ -89,10 +94,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(col: Column) -> Column:
-    """Document fingerprint: 64-bit polynomial rolling hash over normalized
-    tokens, base 31 mod 2^61-1 — order-sensitive (unlike a bag-of-words
-    hash), cheap, and SQL-reproducible."""
-    MOD = (1 << 61) - 1
+    """Document fingerprint: polynomial rolling hash over normalized tokens,
+    base 31 mod 2^31-1 — order-sensitive (unlike a bag-of-words hash), cheap,
+    SQL-reproducible, and overflow-safe under ANSI mode (acc*31 + h stays
+    well under 2^63 because acc < 2^31 and h < 2^32)."""
+    MOD = (1 << 31) - 1
     toks = _tokens(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""))
     tok_hash = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")

@@ -1,0 +1,680 @@
+"""Operator-inventory queries + DuckDB oracle SQL (driver contract).
+
+Each SURVEY.md §2 row that is SQL-expressible gets a (Spark DataFrame fn,
+DuckDB SQL) pair over the driver testdata tables; the driver compares
+row-count + schema + order-insensitive value hash at sf=0.01
+(FIXTURES.md §B maps operators → fixture tables).
+
+Cross-engine determinism rules used throughout:
+* every computed column aliased identically on both sides;
+* counts cast to BIGINT;
+* double aggregates: per-row CAST to DECIMAL(18,4) → exact SUM → double →
+  round (no double is ever exactly at a decimal tie — 10^k has a 5^k factor
+  no binary fraction can carry — so double→decimal casts round identically
+  in both engines);
+* shared hash primitive: first 8 hex chars of md5 → BIGINT
+  (Spark ``conv(substring(md5(x),1,8),16,10)`` ≡ DuckDB
+  ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf2pdfocr_spark.operators import dedup, similarity, text_analysis as ta
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, alias, scale=2):
+    return F.round(
+        F.sum(col.cast("decimal(18,4)")).cast("double"), scale
+    ).alias(alias)
+
+
+# --- S4: text-layer probe (array predicate) --------------------------------
+
+def q_s4_text_probe(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda w: F.length(w) > 5).alias("has_long_word"),
+    )
+
+
+SQL_S4 = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       w -> length(w) > 5)) > 0 AS has_long_word
+FROM documents
+"""
+
+# --- F1: min-size admission gate --------------------------------------------
+
+def q_f1_min_size(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") >= 300)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+SQL_F1 = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 300 GROUP BY source
+"""
+
+# --- F2: max-pages gate (per-order line cap) --------------------------------
+
+def q_f2_max_pages(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.count("*").cast("long").alias("n_lines"))
+        .filter(F.col("n_lines") <= 3)
+    )
+
+
+SQL_F2 = """
+SELECT l_orderkey AS orderkey, CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_orderkey HAVING count(*) <= 3
+"""
+
+# --- F5: resume / safe-mode left-anti join ----------------------------------
+
+def q_f5_anti_join(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    done = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select("doc_id")
+    return docs.join(done, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+SQL_F5 = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+"""
+
+# --- F6: blank-page filter analog (zero-value predicate filter) -------------
+
+def q_f6_blank_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_discount") == 0.0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").cast("long").alias("n_zero_disc"))
+    )
+
+
+SQL_F6 = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_zero_disc
+FROM lineitem WHERE l_discount = 0.0 GROUP BY l_returnflag
+"""
+
+# --- R1/S6: ordered reassembly + ordered concat -----------------------------
+
+def q_r1_ordered_concat(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+                lambda s: s["l_returnflag"],
+            ),
+        ).alias("flags")
+    )
+
+
+SQL_R1 = """
+SELECT l_orderkey AS orderkey,
+       string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flags
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_s6_event_seq(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("seq")
+    )
+
+
+SQL_S6 = """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id
+"""
+
+# --- R3: merge equi-join -----------------------------------------------------
+
+def q_r3_merge_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+SQL_R3 = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+# --- R6: every/bool_and (smart-preset decision) ------------------------------
+
+def q_r6_every(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.every(F.col("l_quantity") < 45).alias("all_small")
+    )
+
+
+SQL_R6 = """
+SELECT l_orderkey AS orderkey, bool_and(l_quantity < 45) AS all_small
+FROM lineitem GROUP BY l_orderkey
+"""
+
+# --- H3: bbox-style regex extraction -----------------------------------------
+
+def q_h3_regex_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    raw = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+    return ev.select(
+        "event_id",
+        F.when(raw == "", None).otherwise(raw).cast("int").alias("val_k"),
+    )
+
+
+SQL_H3 = """
+SELECT event_id,
+       CAST(nullif(regexp_extract(props, '"k":\\s*([0-9]+)', 1), '') AS INT) AS val_k
+FROM events
+"""
+
+# --- H6 + §2.8: ligature normalize + printable scrub -------------------------
+
+def q_h6_ligature(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.translate(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "ﬂ", "fl"), "ﬁ", "fi"
+        ),
+        "aeiou",
+        "AEIOU",
+    )
+    return docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+
+
+SQL_H6 = """
+SELECT doc_id,
+       md5(translate(replace(replace(text, 'ﬂ', 'fl'), 'ﬁ', 'fi'),
+                     'aeiou', 'AEIOU')) AS norm_hash
+FROM documents
+"""
+
+# --- §2.8 scalar math: px→pt + area + tolerance ------------------------------
+
+def q_scalar_math(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") / 300.0 * 72.0, 4).alias("pts"),
+        (F.col("p_size").cast("long") * F.col("p_size").cast("long")).alias("area"),
+        (F.abs(F.col("p_retailprice") / 1000.0 - 1.0) > 0.001).alias("needs_scale"),
+    )
+
+
+SQL_SCALAR = """
+SELECT p_partkey, round(p_retailprice / 300.0 * 72.0, 4) AS pts,
+       CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS area,
+       abs(p_retailprice / 1000.0 - 1.0) > 0.001 AS needs_scale
+FROM part
+"""
+
+# --- X2: salted repartition preserves rows -----------------------------------
+
+def q_x2_salt_preserve(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.repartition(16, F.pmod(F.col("l_orderkey"), F.lit(16)))
+    return salted.groupBy(
+        F.pmod(F.col("l_orderkey"), F.lit(16)).cast("long").alias("salt")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+SQL_X2 = """
+SELECT CAST(((l_orderkey % 16) + 16) % 16 AS BIGINT) AS salt,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+# --- TPC-H Q1 style aggregate -------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- top-k per group (window) --------------------------------------------------
+
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+# --- sessionization (lag + gap) ------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ in Spark 4; unix_micros wants
+    # LTZ — the cast is offset-free under the session's UTC timezone
+    us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").cast("long").alias("n_sessions"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+"""
+
+# --- dedup: exact -----------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(dedup.normalize_text(F.col("text"))).alias("content_hash"),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+# --- dedup: n-gram Jaccard pairs ----------------------------------------------
+
+_DUCK_SHINGLES = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS t
+  FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(0, len(t) - 2),
+                                 i -> array_to_string(t[(i+1):(i+3)], ' ')))
+         END AS shingles
+  FROM toks
+)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.10, text_col="text")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_DUCK_SHINGLES},
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM inv a JOIN inv b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.10
+"""
+
+# --- dedup: MinHash signatures -------------------------------------------------
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.with_minhash(docs, num_hashes=8, n=3, text_col="text")
+
+
+def _duck_mh(i: int) -> str:
+    return (
+        "list_min(list_transform(shingles, "
+        f"s -> CAST(('0x' || substr(md5('{i}|' || s), 1, 8)) AS BIGINT))) AS mh_{i}"
+    )
+
+
+SQL_MINHASH_SIG = (
+    "WITH "
+    + _DUCK_SHINGLES.replace("doc_id < 60", "doc_id < 200")
+    + "SELECT doc_id, "
+    + ", ".join(_duck_mh(i) for i in range(8))
+    + " FROM sh"
+)
+
+# --- dedup: SimHash fingerprints ------------------------------------------------
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.with_simhash(docs, bits=32, text_col="text")
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'),
+           x -> length(x) > 0)) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(0, 32)) AS b) bits
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+# --- similarity: brute-force cosine top-k ---------------------------------------
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, list(qvec), k=10, round_to=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])))), 5) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+# --- text analysis ----------------------------------------------------------------
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.detect_language(F.col("text")).alias("lang_guess"))
+
+
+def _duck_swr(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_transform(toks, t -> lower(t)),"
+        f" t -> t IN ({words})))"
+        " / greatest(len(toks), 1)"
+    )
+
+
+SQL_LANGID = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         {_duck_swr('en')} AS r_en,
+         {_duck_swr('pt')} AS r_pt,
+         {_duck_swr('de')} AS r_de
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(r_en, r_pt, r_de) = 0 THEN 'und'
+            WHEN r_en = greatest(r_en, r_pt, r_de) THEN 'en'
+            WHEN r_pt = greatest(r_en, r_pt, r_de) THEN 'pt'
+            ELSE 'de' END AS lang_guess
+FROM r
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ta.quality_features(docs, "text").select(
+        "doc_id", "n_tokens", "mean_word_len", "punct_ratio",
+        "alpha_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in ta.STOPWORDS["en"])
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(n_chars / greatest(CAST(len(toks) AS BIGINT), 1), 4) AS mean_word_len,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+               / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(n_chars, 1), 4) AS alpha_ratio,
+         round(len(list_filter(list_transform(toks, x -> lower(x)),
+                               x -> x IN ({_EN_WORDS})))
+               / greatest(len(toks), 1), 4) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, punct_ratio, alpha_ratio, stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.25
+             + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                    THEN 0.25 ELSE 0.0 END
+             + least(stopword_ratio * 5, 1.0) * 0.25
+             + alpha_ratio * 0.25, 6) AS quality_score
+FROM m
+"""
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.token_count_ws(F.col("text")).alias("n_ws"),
+        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+SQL_TOKENS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> length(x) > 0)) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ta.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(trim(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+             x -> length(x) > 0),
+           tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                          (acc, h) -> (acc * 31 + h) % 2147483647)
+              % 2147483647) + 2147483647) % 2147483647 AS BIGINT) AS fingerprint
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "s4_text_probe": q_s4_text_probe,
+    "f1_min_size_gate": q_f1_min_size,
+    "f2_max_pages_gate": q_f2_max_pages,
+    "f5_resume_anti_join": q_f5_anti_join,
+    "f6_blank_filter": q_f6_blank_filter,
+    "r1_ordered_concat": q_r1_ordered_concat,
+    "s6_event_seq": q_s6_event_seq,
+    "r3_merge_join": q_r3_merge_join,
+    "r6_every": q_r6_every,
+    "h3_regex_extract": q_h3_regex_extract,
+    "h6_ligature_normalize": q_h6_ligature,
+    "scalar_px_pt_area": q_scalar_math,
+    "x2_salt_preserve": q_x2_salt_preserve,
+    "tpch_q1_agg": q_tpch_q1,
+    "topk_per_group": q_topk_per_group,
+    "events_sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "s4_text_probe": SQL_S4,
+    "f1_min_size_gate": SQL_F1,
+    "f2_max_pages_gate": SQL_F2,
+    "f5_resume_anti_join": SQL_F5,
+    "f6_blank_filter": SQL_F6,
+    "r1_ordered_concat": SQL_R1,
+    "s6_event_seq": SQL_S6,
+    "r3_merge_join": SQL_R3,
+    "r6_every": SQL_R6,
+    "h3_regex_extract": SQL_H3,
+    "h6_ligature_normalize": SQL_H6,
+    "scalar_px_pt_area": SQL_SCALAR,
+    "x2_salt_preserve": SQL_X2,
+    "tpch_q1_agg": SQL_TPCH_Q1,
+    "topk_per_group": SQL_TOPK,
+    "events_sessionize": SQL_SESSIONIZE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_sig": SQL_MINHASH_SIG,
+    "dedup_simhash": SQL_SIMHASH,
+    "sim_cosine_topk": SQL_COSINE_TOPK,
+    "text_langid": SQL_LANGID,
+    "text_quality": SQL_QUALITY,
+    "text_tokens": SQL_TOKENS,
+    "text_fingerprint": SQL_FINGERPRINT,
+}

@@ -1,0 +1,160 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal) on small in-memory fixtures with hand-checkable answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf2pdfocr_spark.operators import dedup, multimodal, similarity
+from pdf2pdfocr_spark.operators import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # case/ws dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "completely different text about spark engines"),  # exact dup of 4
+        (6, "a b"),                                            # shorter than shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = {r["keep_id"]: r["n_dups"] for r in dedup.exact_duplicates(docs).collect()}
+    assert got == {1: 2, 4: 2}
+    kept = dedup.dedup_exact(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [1, 3, 4, 6]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # normalized-identical
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) in pairs and pairs[(4, 5)] == 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, threshold=0.4
+        ).collect()
+    }
+    assert (1, 2) in got and (4, 5) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_hamming(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).collect()}
+    assert fps[1] == fps[2]  # normalized-identical → identical fingerprint
+    assert fps[4] == fps[5]
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(docs, max_hamming=ham13).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0]),   # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["score"] == 1.0
+
+
+def test_lsh_ann_contains_true_neighbour(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    rows.append((999, [v * 1.01 for v in rows[0][1]]))  # near-copy of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplanes(16, 6, seed=42)
+    got = similarity.lsh_ann_topk(emb, rows[0][1], planes, k=5).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 0 in ids and 999 in ids
+
+
+def test_knn_join_and_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0]), (4, [0.01, 0.99]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplanes(2, 2, seed=1)
+    nd = similarity.embedding_near_dups(emb, planes, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (1, 2) in got and (3, 4) in got and (1, 3) not in got
+
+
+def test_langid_and_quality(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a good day for the park"),
+        (2, "o gato sentou em um tapete e que dia bom para o parque"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r["doc_id"]: r for r in df.select(
+        "doc_id", ta.detect_language(F.col("text")).alias("lang")).collect()}
+    assert langs[1]["lang"] == "en"
+    assert langs[2]["lang"] == "pt"
+    assert langs[3]["lang"] == "und"
+
+    q = {r["doc_id"]: r for r in ta.quality_features(df).collect()}
+    assert q[1]["quality_score"] > q[3]["quality_score"]
+    assert q[1]["n_tokens"] == 15
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id long, text string")
+    r = df.select(
+        ta.token_count_ws(F.col("text")).alias("ws"),
+        ta.token_count_bpe(F.col("text")).alias("bpe"),
+        ta.fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert r["ws"] == 3
+    # Hello , world ! x 2 → 6 BPE-ish tokens
+    assert r["bpe"] == 6
+    assert 0 <= r["fp"] < (1 << 31) - 1
+    # order sensitivity
+    df2 = spark.createDataFrame([(1, "world! Hello, x2")], "doc_id long, text string")
+    r2 = df2.select(ta.fingerprint(F.col("text")).alias("fp")).collect()[0]
+    assert r2["fp"] != r["fp"]
+
+
+def test_multimodal_features_plumbing(spark):
+    media = multimodal.synth_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    by_type = {}
+    for r in feats:
+        assert r["error"] is None
+        assert len(r["feature"]) == 8
+        by_type.setdefault(r["media_type"], []).append(r)
+    assert set(by_type) == {"image", "audio", "video"}
+    assert all(r["n_frames_sampled"] == 4 for r in by_type["video"])
+    assert all(r["out_width"] == 16 for r in by_type["image"])
+    # determinism across runs
+    again = multimodal.extract_features(multimodal.synth_media(spark, n=12)).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_codec_decoder_stubbed(spark):
+    media = multimodal.synth_media(spark, n=3)
+    feats = multimodal.extract_features(media, decoder=multimodal.CodecDecoder())
+    rows = feats.collect()
+    assert all(r["error"] and "decoder_unavailable" in r["error"] for r in rows)
