@@ -165,7 +165,10 @@ def synth_hocr(
     """
     rng = random.Random(seed)
     n_cols = rng.choice((2, 3)) if layout == "multi_column" else 1
-    n_words = 8 + rng.randrange(25)
+    # realistic page density: a 300-dpi A4 text page carries ~150-450 words;
+    # keeping the simulator honest here also keeps per-page OCR cost in a
+    # regime where parallelism (not fixed overhead) dominates benchmarks
+    n_words = 150 + rng.randrange(300)
 
     words = []
     for i in range(n_words):

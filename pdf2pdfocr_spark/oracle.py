@@ -52,10 +52,44 @@ class PipelineConfig:
     ignore_existing_text: bool = False  # --ignore-existing-text
     deskew_threshold: float = 0.0    # -d (deskew forces rebuild, 762-764)
     force_rebuild: bool = False      # -f
-    salt_buckets: int = 8            # X2 page-skew salting (Spark side only)
+    # X2 page-skew salting (Spark side only): a doc's pages spread over up
+    # to this many shuffle keys. Keep it ≥ several× the partition count —
+    # with few keys, key-hash collisions re-concentrate the huge doc
+    salt_buckets: int = 64
 
 
 SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+# R8 producer signature appended to document metadata (edit_producer,
+# pdf2pdfocr.py:1333-1374)
+PRODUCER_SIGNATURE = "pdf2pdfocr_spark 0.1.0"
+
+# R6 smart-preset greyscale proxy: payloads with few distinct colors count
+# as greyscale (do_check_img_greyscale, pdf2pdfocr.py:227-240)
+GREYSCALE_MAX_COLORS = 16
+
+
+def merged_meta(meta: dict) -> dict:
+    """R8: copy source metadata, scrub values to printable ASCII
+    (pdf2pdfocr.py:1352-1353), append our signature to /producer."""
+    out = {}
+    for k, v in (meta or {}).items():
+        if k == "producer":
+            continue
+        out[k] = "".join(c for c in v if 0x20 <= ord(c) <= 0x7E)
+    old = (meta or {}).get("producer", "")
+    out["producer"] = f"{old}; {PRODUCER_SIGNATURE}" if old else PRODUCER_SIGNATURE
+    return out
+
+
+def smart_preset(payloads: dict) -> str:
+    """R6: ALL pages greyscale → 'best', else 'jpeg'
+    (pdf2pdfocr.py:842-856); documents with no pages default to 'best'."""
+    return (
+        "best"
+        if all(p.n_colors <= GREYSCALE_MAX_COLORS for p in payloads.values())
+        else "jpeg"
+    )
 
 
 def _span(kind: str, text: str, media_ref: str, offset: int) -> dict:
@@ -89,11 +123,15 @@ def extract_document(
         return {
             "doc_id": doc_id, "skip_reason": reason, "spans": None,
             "doc_text": None, "n_pages": 0, "rebuild": False,
+            "preset": None, "meta_out": None,
         }
 
     # --- admission gates, reference order -----------------------------------
     if config.min_kbytes and doc_size_kb(spans) < config.min_kbytes:
         return skipped("min_size")
+
+    if len({s["offset"] for s in spans}) != len(spans):
+        return skipped("corrupt")  # duplicate offsets = malformed document
 
     image_spans = [s for s in spans if s["kind"] == "image"]
     payloads = {}
@@ -154,6 +192,8 @@ def extract_document(
         "doc_text": "".join(page_texts),
         "n_pages": len(image_spans),
         "rebuild": rebuild,
+        "preset": smart_preset(payloads),
+        "meta_out": merged_meta(meta),
     }
 
 

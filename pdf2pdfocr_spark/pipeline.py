@@ -94,9 +94,15 @@ def apply_gates(
         )
         / F.lit(1024.0)
     )
+    # corrupt = unreadable media payload OR duplicate offsets (the latter
+    # would blow up map_from_entries in reassembly — one malformed doc must
+    # quarantine, never abort the job, pdf2pdfocr.py:1531-1533)
     corrupt = F.exists(
         SPAN(),
         lambda s: (s["kind"] == F.lit("image")) & ~s["media_ref"].rlike(MEDIA_REF_JRE),
+    ) | (
+        F.size(SPAN())
+        != F.size(F.array_distinct(F.transform(SPAN(), lambda s: s["offset"])))
     )
     encrypted = F.coalesce(F.col("meta")["encrypted"] == "true", F.lit(False))
     n_pages = F.size(F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")))
@@ -171,11 +177,17 @@ def salted_repartition(pages: DataFrame, num_partitions: int, salt_buckets: int)
 # 5. OCR + hOCR extraction (the Arrow escape hatch)
 # --------------------------------------------------------------------------
 
-def run_ocr(pages: DataFrame, config: PipelineConfig) -> DataFrame:
+def run_ocr(pages: DataFrame, config: PipelineConfig,
+            keep_geometry: bool = False) -> DataFrame:
     """O1/O2 + H1-H6 in one ``mapInPandas`` pass: per Arrow batch, decode the
     page payload, run the (pluggable) OCR engine, parse hOCR to ordered word
     boxes. Per-page failures become ``error`` rows (quarantine, R7) — the
-    batch never dies (pdf2pdfocr.py:1531-1533 semantics)."""
+    batch never dies (pdf2pdfocr.py:1531-1533 semantics).
+
+    Default output carries word texts only (array<string>); pass
+    ``keep_geometry=True`` for the PDF-sink path that needs bbox structs
+    (H7, pdf2pdfocr.py:419-430) — geometry roughly doubles the bytes the
+    reassembly shuffle must move, so the span path never carries it."""
     ocr_cfg = config.ocr  # capture the small dataclass, not `config`'s frame
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,28 +198,43 @@ def run_ocr(pages: DataFrame, config: PipelineConfig) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "offset": pdf["offset"],
                 "page_text": [None] * n,
-                "word_spans": [None] * n,
-                "page_w_pt": [None] * n,
-                "page_h_pt": [None] * n,
+                "words": [None] * n,
                 "error": [None] * n,
             }
+            if keep_geometry:
+                out["word_boxes"] = [None] * n
+                out["page_w_pt"] = [None] * n
+                out["page_h_pt"] = [None] * n
+                del out["words"]
             for i, ref in enumerate(pdf["media_ref"]):
                 try:
                     payload = PagePayload.from_ref(ref)
                     res = engine.ocr_page(payload)
                     out["page_text"][i] = res.text
-                    out["word_spans"][i] = [
-                        {"text": w.text, "x1": w.x1, "y1": w.y1,
-                         "x2": w.x2, "y2": w.y2}
-                        for w in res.words
-                    ]
-                    out["page_w_pt"][i] = res.page_w_pt
-                    out["page_h_pt"][i] = res.page_h_pt
+                    if keep_geometry:
+                        # tuples, not dicts: Arrow struct conversion from
+                        # dicts is ~4× slower
+                        out["word_boxes"][i] = [
+                            (w.text, w.x1, w.y1, w.x2, w.y2) for w in res.words
+                        ]
+                        out["page_w_pt"][i] = res.page_w_pt
+                        out["page_h_pt"][i] = res.page_h_pt
+                    else:
+                        out["words"][i] = [w.text for w in res.words]
                 except Exception as exc:  # noqa: BLE001 — quarantine, not abort
                     out["error"][i] = f"{type(exc).__name__}: {exc}"
-            yield pd.DataFrame(out)
+            cols = (
+                ["doc_id", "offset", "page_text", "word_boxes",
+                 "page_w_pt", "page_h_pt", "error"]
+                if keep_geometry
+                else ["doc_id", "offset", "page_text", "words", "error"]
+            )
+            yield pd.DataFrame({c: out[c] for c in cols})
 
-    return pages.mapInPandas(ocr_batches, schema=OCR_PAGE_RESULT_SCHEMA)
+    from pdf2pdfocr_spark.schema import OCR_PAGE_GEOMETRY_SCHEMA
+
+    schema = OCR_PAGE_GEOMETRY_SCHEMA if keep_geometry else OCR_PAGE_RESULT_SCHEMA
+    return pages.mapInPandas(ocr_batches, schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -222,7 +249,7 @@ def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
     (pdf2pdfocr.py:707's lexicographic-filename invariant made explicit)."""
     pages_by_doc = ocr_results.groupBy("doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("offset", "page_text", "word_spans"))
+            F.collect_list(F.struct("offset", "page_text", "words"))
         ).alias("pages"),
         F.max("error").alias("page_error"),
     )
@@ -241,13 +268,13 @@ def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
 
     def emit(s: Column) -> Column:
         words = F.coalesce(
-            F.element_at(F.col("page_map"), s["offset"])["word_spans"], F.array()
+            F.element_at(F.col("page_map"), s["offset"])["words"], F.array()
         )
         text_spans = F.transform(
             words,
             lambda w: F.struct(
                 F.lit("text").alias("kind"),
-                w["text"].alias("text"),
+                w.alias("text"),
                 F.lit("").alias("media_ref"),
                 F.lit(-1).alias("offset"),
             ),
@@ -284,6 +311,8 @@ def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
         doc_text.alias("doc_text"),
         "n_pages",
         F.col("rebuild"),
+        F.col("preset"),
+        F.col("meta_out"),
         F.col("page_error"),
     )
 
@@ -325,6 +354,49 @@ def extract(
         | (F.lit(config.deskew_threshold > 0) & any_skew),
     )
 
+    # R6 smart preset: ALL pages greyscale → 'best' else 'jpeg'
+    # (pdf2pdfocr.py:842-856) — an F.forall aggregate, no explode needed
+    from pdf2pdfocr_spark.oracle import GREYSCALE_MAX_COLORS, PRODUCER_SIGNATURE
+
+    all_grey = F.forall(
+        F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")),
+        lambda s: _payload_field(s["media_ref"], "colors").cast("int")
+        <= F.lit(GREYSCALE_MAX_COLORS),
+    )
+    gated = gated.withColumn(
+        "preset", F.when(all_grey, F.lit("best")).otherwise(F.lit("jpeg"))
+    )
+
+    # R8 producer metadata merge (edit_producer, pdf2pdfocr.py:1333-1374):
+    # scrub values to printable ASCII, append our signature to /producer
+    old_prod = F.col("meta").getItem("producer")
+    new_prod = F.when(
+        old_prod.isNotNull() & (old_prod != ""),
+        F.concat(old_prod, F.lit("; " + PRODUCER_SIGNATURE)),
+    ).otherwise(F.lit(PRODUCER_SIGNATURE))
+    entries = F.filter(
+        F.map_entries(F.coalesce(F.col("meta"), F.create_map().cast("map<string,string>"))),
+        lambda e: e["key"] != F.lit("producer"),
+    )
+    scrubbed = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.regexp_replace(e["value"], r"[^\x20-\x7e]", "").alias("value"),
+        ),
+    )
+    meta_out = F.map_from_entries(
+        F.concat(
+            scrubbed,
+            F.array(
+                F.struct(
+                    F.lit("producer").alias("key"), new_prod.alias("value")
+                )
+            ),
+        )
+    )
+    gated = gated.withColumn("meta_out", meta_out)
+
     admitted = gated.filter(F.col("skip_reason").isNull())
     quarantined_by_gate = gated.filter(F.col("skip_reason").isNotNull()).select(
         "doc_id", "skip_reason", "spans"
@@ -350,6 +422,8 @@ def extract(
             F.lit("").alias("doc_text"),
             "n_pages",
             "rebuild",
+            "preset",
+            "meta_out",
         )
         return processed, quarantined_by_gate
 
@@ -369,11 +443,15 @@ def extract(
 
 
 def build_spark(app: str = "pdf2pdfocr_spark", master: str | None = None,
-                cores: int = 32, shuffle_partitions: int | None = None) -> SparkSession:
+                cores: int = 32, shuffle_partitions: int | None = None,
+                driver_memory: str = "48g") -> SparkSession:
     """Session tuned for the sandbox (local mode); on a real cluster these
-    arrive via spark-submit --conf (north_rule packaging)."""
+    arrive via spark-submit --conf (north_rule packaging). In local mode the
+    driver JVM runs every task — the default 1g heap GC-thrashes as soon as
+    tens of tasks hold collect_list/Arrow buffers, so size it explicitly."""
     b = (
         SparkSession.builder.appName(app)
+        .config("spark.driver.memory", driver_memory)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

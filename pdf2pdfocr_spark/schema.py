@@ -61,31 +61,41 @@ PAGE_SCHEMA = T.StructType(
     ]
 )
 
-# OCR stage output: one row per page, spans nested (kept nested so the
+# OCR stage output: one row per page, words nested (kept nested so the
 # reassembly groupBy moves one small array per page, not one row per word).
+# The hot path carries word TEXT only — bbox geometry is needed solely by
+# PDF re-synthesis sinks (H7), so shipping it through the reassembly shuffle
+# would roughly double the shuffled bytes for nothing; sinks use the
+# geometry schema below via pipeline.run_ocr(..., keep_geometry=True).
 OCR_PAGE_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("offset", T.IntegerType(), False),
         T.StructField("page_text", T.StringType(), True),
-        T.StructField(
-            "word_spans",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("text", T.StringType(), True),
-                        T.StructField("x1", T.IntegerType(), True),
-                        T.StructField("y1", T.IntegerType(), True),
-                        T.StructField("x2", T.IntegerType(), True),
-                        T.StructField("y2", T.IntegerType(), True),
-                    ]
-                )
-            ),
-            True,
-        ),
+        T.StructField("words", T.ArrayType(T.StringType()), True),
+        T.StructField("error", T.StringType(), True),      # quarantine reason
+    ]
+)
+
+WORD_BOX_STRUCT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("x1", T.IntegerType(), True),
+        T.StructField("y1", T.IntegerType(), True),
+        T.StructField("x2", T.IntegerType(), True),
+        T.StructField("y2", T.IntegerType(), True),
+    ]
+)
+
+OCR_PAGE_GEOMETRY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("page_text", T.StringType(), True),
+        T.StructField("word_boxes", T.ArrayType(WORD_BOX_STRUCT), True),
         T.StructField("page_w_pt", T.DoubleType(), True),
         T.StructField("page_h_pt", T.DoubleType(), True),
-        T.StructField("error", T.StringType(), True),      # quarantine reason
+        T.StructField("error", T.StringType(), True),
     ]
 )
 

@@ -124,6 +124,46 @@ def test_huge_doc_skew(spark):
     assert got == want
 
 
+def test_preset_and_producer_meta_match_oracle(spark, tiny_corpus):
+    """R6 smart preset + R8 producer metadata merge (engine-side columns)."""
+    dirty = corpus.synth_document("doc-dirty", "image_only", seed=3)
+    dirty["meta"] = {"producer": "Scanner v1", "title": "café ☃ report"}
+    grey = corpus.synth_document("doc-grey", "image_only", seed=4)
+    for s in grey["spans"]:
+        s["media_ref"] = s["media_ref"].replace(
+            f"colors={corpus.PagePayload.from_ref(s['media_ref']).n_colors}",
+            "colors=2",
+        )
+    docs = tiny_corpus + [dirty, grey]
+    config = PipelineConfig()
+    processed, _ = extract(corpus.corpus_df(spark, docs), config)
+    got = {
+        r["doc_id"]: (r["preset"], dict(r["meta_out"])) for r in processed.collect()
+    }
+    want = {
+        k: (v["preset"], v["meta_out"])
+        for k, v in oracle.extract_corpus(docs, config).items()
+        if v["skip_reason"] is None
+    }
+    assert got == want
+    assert got["doc-grey"][0] == "best"
+    assert got["doc-dirty"][1]["producer"] == "Scanner v1; pdf2pdfocr_spark 0.1.0"
+    assert got["doc-dirty"][1]["title"] == "caf  report"
+
+
+def test_duplicate_offsets_quarantined_not_abort(spark):
+    """A doc with duplicate span offsets must quarantine as corrupt, never
+    abort the job (it would otherwise hit DUPLICATE_MAP_KEY in reassembly)."""
+    bad = corpus.synth_document("doc-dup", "image_only", seed=1, n_pages=3)
+    bad["spans"][2]["offset"] = bad["spans"][1]["offset"]
+    good = corpus.synth_document("doc-good", "image_only", seed=2)
+    config = PipelineConfig()
+    got, got_q, _ = _spark_results(spark, [bad, good], config)
+    want, want_q, _ = _oracle_results([bad, good], config)
+    assert got_q == want_q == {"doc-dup": "corrupt"}
+    assert got == want and "doc-good" in got
+
+
 def test_quarantine_has_reasons_not_abort(spark, tiny_corpus):
     processed, quarantine = extract(
         corpus.corpus_df(spark, tiny_corpus), PipelineConfig()

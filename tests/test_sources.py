@@ -1,0 +1,55 @@
+"""Sources/sinks (S1/S2/S5): mime sniff on magic bytes, raw-file ingest,
+bucketed span sink round-trip."""
+
+from pyspark.sql import functions as F
+
+from pdf2pdfocr_spark import corpus
+from pdf2pdfocr_spark.oracle import PipelineConfig
+from pdf2pdfocr_spark.pipeline import extract
+from pdf2pdfocr_spark.sources import readers
+
+
+def test_sniff_mime_magic_bytes(spark):
+    rows = [
+        ("pdf", b"%PDF-1.7 ..."),
+        ("tiff_le", b"II*\x00rest"),
+        ("tiff_be", b"MM\x00*rest"),
+        ("jpeg", b"\xff\xd8\xff\xe0JFIF"),
+        ("png", b"\x89PNG\r\n"),
+        ("junk", b"hello world"),
+    ]
+    df = spark.createDataFrame(rows, "name string, content binary")
+    got = {
+        r["name"]: r["mime"]
+        for r in df.select("name", readers.sniff_mime(F.col("content")).alias("mime")).collect()
+    }
+    assert got == {
+        "pdf": "application/pdf",
+        "tiff_le": "image/tiff",
+        "tiff_be": "image/tiff",
+        "jpeg": "image/jpeg",
+        "png": "image/png",
+        "junk": "application/octet-stream",
+    }
+
+
+def test_ingest_raw_files(spark, tmp_path):
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 fake")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG\r\n fake")
+    (tmp_path / "c.txt").write_bytes(b"plain text")
+    out = {r["source_path"].rsplit("/", 1)[-1]: r["accepted"]
+           for r in readers.ingest_raw_files(spark, str(tmp_path)).collect()}
+    assert out == {"a.pdf": True, "b.png": True, "c.txt": False}
+
+
+def test_write_read_spans_roundtrip(spark, tmp_path):
+    docs = corpus.corpus_df(spark, corpus.synth_documents(13))
+    processed, _ = extract(docs, PipelineConfig())
+    path = str(tmp_path / "spans")
+    readers.write_spans(processed, path, buckets=8, mode="overwrite")
+    back = readers.read_documents(spark, path, table_format="parquet")
+    assert back.count() == processed.count()
+    assert set(back.select("doc_bucket").distinct().toPandas()["doc_bucket"]) <= set(range(8))
+    a = {r["doc_id"]: r["spans"] for r in back.collect()}
+    b = {r["doc_id"]: r["spans"] for r in processed.collect()}
+    assert a == b
