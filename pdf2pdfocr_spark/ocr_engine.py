@@ -31,6 +31,10 @@ class OcrConfig:
     psm: int | None = None
     dpi: int = 300
     extra_flags: tuple = field(default_factory=tuple)
+    # X5: per-page wall-clock limit; exceeded → quarantine row, never a task
+    # failure (reference: whole-doc ThreadPoolExecutor timeout,
+    # pdf2pdfocr.py:1511-1528). None = off (zero overhead).
+    page_timeout_s: float | None = None
 
 
 @dataclass(frozen=True)
@@ -60,6 +64,13 @@ class SimulatedTesseract:
         self.config = config
 
     def ocr_page(self, payload: PagePayload) -> OcrPageResult:
+        # honor the -x extra-flags pass-through (pdf2pdfocr.py:1475-1476);
+        # '--sim-sleep=N' lets tests emulate a stuck engine for X5 timeouts
+        for flag in self.config.extra_flags:
+            if flag.startswith("--sim-sleep="):
+                import time
+
+                time.sleep(float(flag.split("=", 1)[1]))
         hocr_str = H.synth_hocr(
             payload.hocr_seed, payload.width_px, payload.height_px,
             payload.layout,

@@ -192,6 +192,19 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = get_engine(ocr_cfg)
+        call = engine.ocr_page
+        if ocr_cfg.page_timeout_s:
+            # X5 timeout ladder: a stuck page quarantines, the batch lives
+            # (reference doc-level timeout, pdf2pdfocr.py:1511-1528)
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+
+            def call(payload, _pool=pool):  # noqa: F811
+                return _pool.submit(engine.ocr_page, payload).result(
+                    timeout=ocr_cfg.page_timeout_s
+                )
+
         for pdf in batches:
             n = len(pdf)
             out = {
@@ -209,7 +222,7 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
             for i, ref in enumerate(pdf["media_ref"]):
                 try:
                     payload = PagePayload.from_ref(ref)
-                    res = engine.ocr_page(payload)
+                    res = call(payload)
                     out["page_text"][i] = res.text
                     if keep_geometry:
                         # tuples, not dicts: Arrow struct conversion from

@@ -385,31 +385,38 @@ FROM documents GROUP BY 1
 
 # --- dedup: n-gram Jaccard pairs ----------------------------------------------
 
-_DUCK_SHINGLES = """
+def _duck_shingles(max_doc_id: int, n: int) -> str:
+    return f"""
 toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(regexp_replace(lower(trim(text)),
                      '\\s+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS t
-  FROM documents WHERE doc_id < 60
+  FROM documents WHERE doc_id < {max_doc_id}
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE list_distinct(list_transform(range(0, len(t) - 2),
-                                 i -> array_to_string(t[(i+1):(i+3)], ' ')))
+         CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(0, len(t) - {n - 1}),
+                                 i -> array_to_string(t[(i+1):(i+{n})], ' ')))
          END AS shingles
   FROM toks
 )
 """
 
 
+_DUCK_SHINGLES = _duck_shingles(200, 3)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.10, text_col="text")
+    # bigrams over the first 150 docs with a threshold inside the observed
+    # similarity tail, so the check is non-trivial (returns pairs) at both
+    # gate scales
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.08, text_col="text")
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH {_DUCK_SHINGLES},
+WITH {_duck_shingles(150, 2)},
 inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
@@ -421,7 +428,7 @@ SELECT id_a, id_b,
 FROM pairs
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
-WHERE n_common / (sa.n + sb.n - n_common) >= 0.10
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.08
 """
 
 # --- dedup: MinHash signatures -------------------------------------------------
@@ -440,7 +447,7 @@ def _duck_mh(i: int) -> str:
 
 SQL_MINHASH_SIG = (
     "WITH "
-    + _DUCK_SHINGLES.replace("doc_id < 60", "doc_id < 200")
+    + _DUCK_SHINGLES
     + "SELECT doc_id, "
     + ", ".join(_duck_mh(i) for i in range(8))
     + " FROM sh"
@@ -619,6 +626,59 @@ SELECT doc_id,
 FROM t
 """
 
+# --- gates over the derived interleaved spans table --------------------------
+
+def q_gates_on_spans(spark, sf_dir):
+    """F-gates evaluated on the input_hint span shape derived from the flat
+    documents table (corpus.documents_from_testdata): text-layer probe (S4)
+    and image-page count (F2) as array expressions over spans."""
+    from pdf2pdfocr_spark.corpus import documents_from_testdata
+
+    docs = documents_from_testdata(spark, sf_dir)
+    spans = F.col("spans")
+    return docs.select(
+        "doc_id",
+        F.exists(spans, lambda s: s["kind"] == F.lit("text")).alias("has_text"),
+        F.size(F.filter(spans, lambda s: s["kind"] == F.lit("image")))
+        .cast("long")
+        .alias("n_image_pages"),
+        F.size(spans).cast("long").alias("n_spans"),
+    )
+
+
+# the derivation rule: text split into 12-word chunks, each chunk followed
+# by one image span → n_image_pages = ceil(words/12), n_spans = 2×that
+SQL_GATES_ON_SPANS = """
+WITH t AS (
+  SELECT printf('doc-%09d', doc_id) AS doc_id,
+         greatest(1, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT))
+           AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       n_chunks > 0 AS has_text,
+       n_chunks AS n_image_pages,
+       n_chunks * 2 AS n_spans
+FROM t
+"""
+
+# --- dedup: keep-one projection ----------------------------------------------
+
+def q_dedup_keep_one(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, text_col="text").select("doc_id", "n_chars")
+
+
+SQL_DEDUP_KEEP_ONE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -640,6 +700,8 @@ QUERIES = {
     "tpch_q1_agg": q_tpch_q1,
     "topk_per_group": q_topk_per_group,
     "events_sessionize": q_sessionize,
+    "gates_on_spans": q_gates_on_spans,
+    "dedup_keep_one": q_dedup_keep_one,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -668,6 +730,8 @@ ORACLES = {
     "tpch_q1_agg": SQL_TPCH_Q1,
     "topk_per_group": SQL_TOPK,
     "events_sessionize": SQL_SESSIONIZE,
+    "gates_on_spans": SQL_GATES_ON_SPANS,
+    "dedup_keep_one": SQL_DEDUP_KEEP_ONE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_sig": SQL_MINHASH_SIG,
