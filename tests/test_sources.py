@@ -42,6 +42,23 @@ def test_ingest_raw_files(spark, tmp_path):
     assert out == {"a.pdf": True, "b.png": True, "c.txt": False}
 
 
+def test_bucket_partition_pruning(spark, tmp_path):
+    """Reading one doc_bucket partition must scan only that partition's
+    files (the Iceberg bucket-transform pruning analog)."""
+    docs = corpus.corpus_df(spark, corpus.synth_documents(26))
+    processed, _ = extract(docs, PipelineConfig())
+    path = str(tmp_path / "spans")
+    readers.write_spans(processed, path, buckets=8, mode="overwrite")
+    full = spark.read.parquet(path)
+    pruned = full.filter(F.col("doc_bucket") == 3)
+    assert pruned.count() > 0
+    # the bucket predicate must appear as a PartitionFilter (pruned at
+    # listing time), not a post-scan Filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "doc_bucket" in pf[0], plan[:800]
+
+
 def test_write_read_spans_roundtrip(spark, tmp_path):
     docs = corpus.corpus_df(spark, corpus.synth_documents(13))
     processed, _ = extract(docs, PipelineConfig())
