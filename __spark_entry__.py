@@ -62,6 +62,26 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k neighbours for every vector (spark-only)."""
+    from pdf2pdfocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planes = similarity.hyperplanes(dim=dim, n_planes=6, seed=42)
+    return similarity.knn_join(emb, planes, k=3)
+
+
+def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (spark-only)."""
+    from pdf2pdfocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planes = similarity.hyperplanes(dim=dim, n_planes=6, seed=42)
+    return similarity.embedding_near_dups(emb, planes, threshold=0.8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     import sys
@@ -79,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out["flagship_extract_spans"] = _flagship
     out["sim_lsh_ann_topk"] = _lsh_ann
+    out["sim_knn_join"] = _knn_join
+    out["sim_embedding_near_dups"] = _emb_near_dups
     out["multimodal_features"] = _multimodal_features
     return out
 

@@ -271,43 +271,40 @@ def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
         "pages", F.coalesce(F.col("pages"), F.array())
     )
 
-    page_map = F.map_from_entries(
-        F.transform(
-            F.col("pages"),
-            lambda p: F.struct(p["offset"].alias("k"), p.alias("v")),
-        )
-    )
-    joined = joined.withColumn("page_map", page_map)
-
-    def emit(s: Column) -> Column:
-        words = F.coalesce(
-            F.element_at(F.col("page_map"), s["offset"])["words"], F.array()
-        )
-        text_spans = F.transform(
-            words,
-            lambda w: F.struct(
-                F.lit("text").alias("kind"),
-                w.alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(-1).alias("offset"),
-            ),
-        )
-        self_span = F.struct(
+    # Interleaved merge by sort key, not per-span map lookup (element_at on
+    # a Spark map is a linear scan → O(pages²) per doc; this is O(W log W)
+    # and handles blank/missing pages for free):
+    #   original span  → key (offset, 0)
+    #   OCR'd word j of the page at `offset` → key (offset, j+1)
+    # concat + array_sort on the (k1, k2) struct prefix = reading order.
+    originals = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["offset"].alias("k1"),
+            F.lit(0).alias("k2"),
             s["kind"].alias("kind"),
             s["text"].alias("text"),
             s["media_ref"].alias("media_ref"),
-            F.lit(-1).alias("offset"),
-        )
-        return F.when(
-            s["kind"] == F.lit("image"),
-            F.concat(F.array(self_span), text_spans),
-        ).otherwise(F.array(self_span))
-
-    raw_spans = F.flatten(
-        F.transform(sorted_by_offset(F.col("spans")), emit)
+        ),
     )
+    word_spans = F.flatten(
+        F.transform(
+            F.col("pages"),
+            lambda p: F.transform(
+                F.coalesce(p["words"], F.array()),
+                lambda w, j: F.struct(
+                    p["offset"].alias("k1"),
+                    (j + 1).alias("k2"),
+                    F.lit("text").alias("kind"),
+                    w.alias("text"),
+                    F.lit("").alias("media_ref"),
+                ),
+            ),
+        )
+    )
+    merged = F.array_sort(F.concat(originals, word_spans))
     renumbered = F.transform(
-        raw_spans,
+        merged,
         lambda x, i: F.struct(
             x["kind"].alias("kind"),
             x["text"].alias("text"),

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator: incremental page reassembly.
+
+Pages of a document can arrive across micro-batches (e.g. page-level OCR
+results streaming off a queue). ``streaming_reassemble`` keeps per-document
+state — expected page count + pages collected so far — and emits one
+``(doc_id, doc_text, n_pages)`` row the moment the document completes,
+via ``applyInPandasWithState`` (the Structured Streaming analog of the
+reference's per-doc temp-file accumulation + final join, pdf2pdfocr.py:
+942-956, with the marker-file progress tracking at 160,985-991 replaced by
+explicit state). Page order is restored from offsets, never arrival order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAGE_EVENT_SCHEMA = (
+    "doc_id string, offset int, n_pages int, page_text string"
+)
+OUTPUT_SCHEMA = "doc_id string, doc_text string, n_pages int"
+STATE_SCHEMA = "offsets array<int>, texts array<string>, expected int"
+
+
+def _reassemble_fn(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        offsets, texts, expected = state.get
+        offsets, texts = list(offsets), list(texts)
+    else:
+        offsets, texts, expected = [], [], -1
+
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            expected = int(row["n_pages"])
+            if int(row["offset"]) not in offsets:  # idempotent re-delivery
+                offsets.append(int(row["offset"]))
+                texts.append(row["page_text"])
+
+    if expected >= 0 and len(offsets) >= expected:
+        ordered = [t for _, t in sorted(zip(offsets, texts))]
+        state.remove()
+        yield pd.DataFrame(
+            {"doc_id": [key[0]], "doc_text": ["".join(ordered)],
+             "n_pages": [expected]}
+        )
+    else:
+        state.update((offsets, texts, expected))
+
+
+def streaming_reassemble(pages: DataFrame) -> DataFrame:
+    """page-event stream → completed-document stream."""
+    return (
+        pages.groupBy("doc_id")
+        .applyInPandasWithState(
+            _reassemble_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -86,7 +86,8 @@ def test_entry_smoke(spark):
 
 def test_sparkonly_queries_run(spark):
     qs = entry_mod.queries()
-    for name in ("flagship_extract_spans", "sim_lsh_ann_topk", "multimodal_features"):
+    for name in ("flagship_extract_spans", "sim_lsh_ann_topk", "sim_knn_join",
+                 "sim_embedding_near_dups", "multimodal_features"):
         assert name in qs
         rows = qs[name](spark, SF_DIR).collect()
         assert len(rows) >= 0
