@@ -56,6 +56,11 @@ class PipelineConfig:
     # to this many shuffle keys. Keep it ≥ several× the partition count —
     # with few keys, key-hash collisions re-concentrate the huge doc
     salt_buckets: int = 64
+    # Persist the gated document set before fan-out (Spark side only): the
+    # DAG otherwise scans+decodes the nested source twice (page-explode path
+    # and reassembly-join path) — measured ~2× the scan cost back, since
+    # array<struct> parquet decode dominates the scan
+    cache_admitted: bool = True
 
 
 SPAN_FIELDS = ("kind", "text", "media_ref", "offset")

@@ -351,13 +351,32 @@ def extract(
 
     gated = apply_gates(docs, config, done_docs)
 
+    if config.cache_admitted:
+        from pyspark.storagelevel import StorageLevel
+
+        # both the page-explode branch and the reassembly join read this
+        # frame; without it the nested source is scanned+decoded twice
+        # (CacheManager dedupes identical plans, so repeated extract()
+        # calls over the same input share one cache entry)
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+
+    admitted = gated.filter(F.col("skip_reason").isNull())
+    quarantined_by_gate = gated.filter(F.col("skip_reason").isNotNull()).select(
+        "doc_id", "skip_reason", "spans"
+    )
+
+    # Derived per-doc columns are computed AFTER the admission filter: the
+    # payload-field casts are only valid on admitted rows (a corrupt
+    # media_ref would throw under ANSI), and quarantined rows don't need
+    # them anyway.
+
     # rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767)
     any_skew = F.exists(
         SPAN(),
         lambda s: (s["kind"] == F.lit("image"))
         & (F.regexp_extract(s["media_ref"], r"skew=([0-9.]+)", 1).cast("double") > 0),
     )
-    gated = gated.withColumn(
+    admitted = admitted.withColumn(
         "rebuild",
         F.col("encrypted")
         | F.lit(config.force_rebuild)
@@ -373,7 +392,7 @@ def extract(
         lambda s: _payload_field(s["media_ref"], "colors").cast("int")
         <= F.lit(GREYSCALE_MAX_COLORS),
     )
-    gated = gated.withColumn(
+    admitted = admitted.withColumn(
         "preset", F.when(all_grey, F.lit("best")).otherwise(F.lit("jpeg"))
     )
 
@@ -405,12 +424,7 @@ def extract(
             ),
         )
     )
-    gated = gated.withColumn("meta_out", meta_out)
-
-    admitted = gated.filter(F.col("skip_reason").isNull())
-    quarantined_by_gate = gated.filter(F.col("skip_reason").isNotNull()).select(
-        "doc_id", "skip_reason", "spans"
-    )
+    admitted = admitted.withColumn("meta_out", meta_out)
 
     if config.ignore_existing_text:
         # gs -dFILTERTEXT analog (pdf2pdfocr.py:1104-1111): drop native text
