@@ -360,6 +360,67 @@ WITH g AS (
 SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
+# --- grouping sets / window frames (engine generality) -----------------------
+
+def q_cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        _dec_sum(F.col("o_totalprice"), "total"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_window_running_sum(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double"),
+            2,
+        ).alias("running_total"),
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         AS running_total
+FROM orders
+"""
+
 # --- dedup: exact -----------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -698,6 +759,9 @@ QUERIES = {
     "scalar_px_pt_area": q_scalar_math,
     "x2_salt_preserve": q_x2_salt_preserve,
     "tpch_q1_agg": q_tpch_q1,
+    "cube_agg": q_cube_agg,
+    "rollup_agg": q_rollup_agg,
+    "window_running_sum": q_window_running_sum,
     "topk_per_group": q_topk_per_group,
     "events_sessionize": q_sessionize,
     "gates_on_spans": q_gates_on_spans,
@@ -728,6 +792,9 @@ ORACLES = {
     "scalar_px_pt_area": SQL_SCALAR,
     "x2_salt_preserve": SQL_X2,
     "tpch_q1_agg": SQL_TPCH_Q1,
+    "cube_agg": SQL_CUBE,
+    "rollup_agg": SQL_ROLLUP,
+    "window_running_sum": SQL_RUNNING_SUM,
     "topk_per_group": SQL_TOPK,
     "events_sessionize": SQL_SESSIONIZE,
     "gates_on_spans": SQL_GATES_ON_SPANS,

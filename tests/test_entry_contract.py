@@ -39,7 +39,8 @@ def _canon(val):
 def _canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_canon(r[i]) for i in order) for r in rows
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=repr,  # None-safe total order (cube/rollup emit NULL dims)
     )
 
 
