@@ -89,7 +89,11 @@ def parse_hocr(hocr: str) -> HocrPage:
     Mirrors HocrTransform.__init__ + to_pdf span iteration
     (pdf2pdfocr.py:287-309, 398-430): namespace-stripped tag matching,
     ocrx_word-else-ocr_line class fallback, document order, empty-skip,
-    ligature normalization.
+    ligature normalization. Missing bboxes default to (0,0,0,0) exactly like
+    the reference's ``element_coordinates`` (pdf2pdfocr.py:336-347, which
+    initializes ``out = Rect._make([0, 0, 0, 0])`` and only overwrites it
+    when the bbox regex matches); the only hard error is a document with no
+    ``ocr_page`` div at all (pdf2pdfocr.py:299-309).
     """
     root = ET.fromstring(hocr)
     # namespace-aware: reference regexes '{ns}html' (pdf2pdfocr.py:294-297);
@@ -101,12 +105,12 @@ def parse_hocr(hocr: str) -> HocrPage:
     for el in root.iter():
         if el.tag.endswith("div") and cls_of(el) == "ocr_page":
             bbox = _bbox_of(el)
-            if bbox is not None:
-                page_dims = (bbox[2], bbox[3])
+            # bbox-less page div → (0,0,0,0) like element_coordinates
+            page_dims = (bbox[2], bbox[3]) if bbox is not None else (0, 0)
             break
     if page_dims is None:
-        # reference aborts when the page has no bbox (pdf2pdfocr.py:308-309)
-        raise ValueError("hocr: no ocr_page bbox found")
+        # reference aborts only when there is no ocr_page div (308-309)
+        raise ValueError("hocr: no ocr_page div found")
 
     words_elems = [el for el in root.iter() if cls_of(el) == "ocrx_word"]
     # fallback to lines when no word spans exist (pdf2pdfocr.py:398-402)
@@ -119,9 +123,7 @@ def parse_hocr(hocr: str) -> HocrPage:
         raw = _element_text(el).rstrip()
         if len(raw) == 0:  # empty-after-rstrip skip (pdf2pdfocr.py:410-413)
             continue
-        bbox = _bbox_of(el)
-        if bbox is None:
-            continue
+        bbox = _bbox_of(el) or (0, 0, 0, 0)  # element_coordinates default
         out.append(WordBox(normalize_ligatures(raw), *bbox))
     return HocrPage(page_dims[0], page_dims[1], tuple(out))
 
@@ -148,20 +150,47 @@ _LIGATURE_WORDS = ("ﬂow", "conﬁg", "ﬁeld", "bafﬂe")  # ﬂow confﬁg…
 
 LAYOUTS = ("single", "multi_column", "line_fallback", "ligatures", "empty_words")
 
+# Deterministic models of what a real OCR engine does to a page that was NOT
+# normalized before recognition:
+#
+# * skewed page → classic OCR confusion-pair substitutions ("smudge") on
+#   every 3rd word (the reference removes skew with `mogrify -deskew` BEFORE
+#   OCR, pdf2pdfocr.py:94-101, 1085-1098 — so clean output requires the
+#   deskew transform to actually run);
+# * rotated page → letters Caesar-shifted by rotation/90 and word order
+#   reversed; 90/270 additionally swap the page canvas dims (the scanner saw
+#   a landscape image). The reference never rotates before OCR — it only
+#   rotates the FINAL page for display (autorotate_final_output,
+#   pdf2pdfocr.py:1038-1083) — so rotated-page OCR text is garbled there too.
+_SMUDGE = str.maketrans({"e": "c", "o": "a", "i": "l", "n": "m"})
+
+
+def _caesar(word: str, shift: int) -> str:
+    return "".join(
+        chr((ord(c) - 97 + shift) % 26 + 97) if "a" <= c <= "z" else c
+        for c in word
+    )
+
 
 def synth_hocr(
     seed: int,
     width_px: int,
     height_px: int,
     layout: str = "single",
+    rotation: int = 0,
+    skew_pct: float = 0.0,
 ) -> str:
-    """Deterministically generate one hOCR page.
+    """Deterministically generate one hOCR page — the OCR output for the
+    page *as captured*.
 
     ``layout`` exercises the reference's parse branches (FIXTURES.md §A):
     multi_column (reading order = document order, not geometry),
     line_fallback (ocr_line only, no ocrx_word), ligatures, empty_words.
-    Bit-stable for a given (seed, dims, layout) — no wall clock, no global
-    RNG state.
+    ``rotation``/``skew_pct`` garble the output deterministically (see the
+    module comment above) — a pipeline that fails to deskew upstream, or an
+    oracle that disagrees about normalization, produces DIFFERENT spans, so
+    golden tests can no longer pass vacuously. Bit-stable for a given
+    (seed, dims, layout, rotation, skew) — no wall clock, no global RNG.
     """
     rng = random.Random(seed)
     n_cols = rng.choice((2, 3)) if layout == "multi_column" else 1
@@ -178,6 +207,15 @@ def synth_hocr(
             words.append(rng.choice(("", " ", "  ", "\t ")))
         else:
             words.append(rng.choice(_VOCAB))
+
+    if skew_pct > 0:  # smudged recognition of a skewed page
+        words = [w.translate(_SMUDGE) if i % 3 == 0 else w
+                 for i, w in enumerate(words)]
+    if rotation:  # garbled recognition of a rotated page
+        shift = (rotation // 90) % 26
+        words = [_caesar(w, shift) for w in reversed(words)]
+        if rotation in (90, 270):
+            width_px, height_px = height_px, width_px
 
     col_w = width_px // n_cols
     spans = []

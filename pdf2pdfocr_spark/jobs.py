@@ -33,7 +33,12 @@ def run_extraction_job(
     config: PipelineConfig | None = None,
 ) -> dict:
     """resume-filter → extract → checkpointed write; returns run metrics."""
+    import dataclasses
+
     config = config or PipelineConfig()
+    # the checkpointed write consumes BOTH branches (spans + quarantine) —
+    # persist the assembled frame so the OCR stage runs exactly once
+    config = dataclasses.replace(config, cache_assembled=True)
     remaining = lineage.resume_filter(docs, out_path)
     processed, quarantine = extract(remaining, config)
     lineage.write_checkpointed(processed, quarantine, out_path, run_id)
@@ -59,6 +64,7 @@ def _parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("-c", "--engine", default="tesseract")
     p.add_argument("-l", "--lang", default="eng")
     p.add_argument("-d", "--deskew", type=float, default=0.0)
+    p.add_argument("--autorotate", action="store_true")
     p.add_argument("-f", "--force-rebuild", action="store_true")
     p.add_argument("--ignore-existing-text", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=8)
@@ -75,6 +81,7 @@ def main(argv=None) -> None:
         avoid_encrypted=args.avoid_encrypted,
         ignore_existing_text=args.ignore_existing_text,
         deskew_threshold=args.deskew,
+        autorotate=args.autorotate,
         force_rebuild=args.force_rebuild,
         salt_buckets=args.salt_buckets,
     )

@@ -47,33 +47,67 @@ class OcrPageResult:
     error: str | None = None
 
 
+# R7 repair ladder: pages whose seed hits this residue "fail to merge" on
+# the first attempt and succeed only after the repair roundtrip — the
+# simulator analog of a PDF that qpdf can't merge until pdf2ps/ps2pdf fixes
+# it (try_repair_input_and_merge, pdf2pdfocr.py:909-926, trigger 815-818).
+REPAIR_RESIDUE = 1009
+
+
 class SimulatedTesseract:
     """Deterministic stand-in for `tesseract <img> <out> -l L hocr txt`.
 
     Reproduces the hOCR a real engine would emit for the synthetic page
-    payload encoded in the media_ref (FIXTURES.md §A), then applies the
-    reference's HocrTransform extraction semantics (SURVEY.md §2.5).
-    Deskew/rotation normalization happens upstream (pipeline P4/P5); by the
-    time a page reaches OCR its payload is orientation-normalized, so the
-    simulator's output depends only on (seed, dims, layout).
+    payload encoded in the media_ref (FIXTURES.md §A) — INCLUDING the
+    deterministic garbling of rotated/skewed captures (hocr.synth_hocr) —
+    then applies the reference's HocrTransform extraction semantics
+    (SURVEY.md §2.5). Deskew normalization is the PIPELINE's job (P5,
+    upstream of this call, mirroring mogrify-deskew-before-OCR at
+    pdf2pdfocr.py:1085-1098); rotation is never normalized before OCR, just
+    like the reference (autorotate only rotates the final page,
+    pdf2pdfocr.py:1038-1083).
     """
 
     name = "tesseract"
+    version = "5.3.0-sim"
 
     def __init__(self, config: OcrConfig):
         self.config = config
 
-    def ocr_page(self, payload: PagePayload) -> OcrPageResult:
+    def capabilities(self) -> dict:
+        """Engine capability negotiation — the adapter analog of the
+        reference's tool probing (check_external_tools pdf2pdfocr.py:588-652,
+        textonly_pdf probe 1258-1266). Cluster deploys override this by
+        actually invoking `tesseract --version` / probing config flags."""
+        return {
+            "name": self.name,
+            "version": self.version,
+            "textonly_pdf": True,   # tesseract ≥3.05.01 (probe at 1258-1266)
+            "hocr": True,
+            "psm": True,            # --psm support (version switch at 84)
+        }
+
+    def ocr_page(self, payload: PagePayload, repaired: bool = False) -> OcrPageResult:
         # honor the -x extra-flags pass-through (pdf2pdfocr.py:1475-1476);
-        # '--sim-sleep=N' lets tests emulate a stuck engine for X5 timeouts
+        # '--sim-sleep=N' stalls every page, '--sim-sleep-if-seed=S:N' stalls
+        # only the page with hocr_seed S — X5 timeout tests need one stuck
+        # page inside an otherwise-healthy batch
         for flag in self.config.extra_flags:
             if flag.startswith("--sim-sleep="):
                 import time
 
                 time.sleep(float(flag.split("=", 1)[1]))
+            elif flag.startswith("--sim-sleep-if-seed="):
+                sd, secs = flag.split("=", 1)[1].split(":")
+                if payload.hocr_seed == int(sd):
+                    import time
+
+                    time.sleep(float(secs))
+        if payload.hocr_seed % REPAIR_RESIDUE == 0 and not repaired:
+            raise RuntimeError("merge_failed: output PDF missing")
         hocr_str = H.synth_hocr(
             payload.hocr_seed, payload.width_px, payload.height_px,
-            payload.layout,
+            payload.layout, payload.rotation, payload.skew_pct,
         )
         page = H.parse_hocr(hocr_str)
         return OcrPageResult(
@@ -84,6 +118,16 @@ class SimulatedTesseract:
             words=page.words,
         )
 
+    def ocr_page_with_repair(self, payload: PagePayload) -> OcrPageResult:
+        """R7 retry ladder: first attempt, then one repair-and-retry
+        (pdf2ps → ps2pdf roundtrip analog) before giving up — the failure
+        only quarantines if the repaired attempt fails too
+        (try_repair_input_and_merge, pdf2pdfocr.py:909-926)."""
+        try:
+            return self.ocr_page(payload)
+        except Exception:  # noqa: BLE001 — any engine failure gets one retry
+            return self.ocr_page(payload, repaired=True)
+
 
 class SimulatedCuneiform(SimulatedTesseract):
     """Cuneiform path (pdf2pdfocr.py:163-207): retry-with-eng on failure,
@@ -92,8 +136,18 @@ class SimulatedCuneiform(SimulatedTesseract):
     whose seed is divisible by 997 'fails' and yields the empty-page hOCR."""
 
     name = "cuneiform"
+    version = "1.1.0-sim"
 
-    def ocr_page(self, payload: PagePayload) -> OcrPageResult:
+    def capabilities(self) -> dict:
+        return {
+            "name": self.name,
+            "version": self.version,
+            "textonly_pdf": False,  # cuneiform emits hOCR only (165-178)
+            "hocr": True,
+            "psm": False,
+        }
+
+    def ocr_page(self, payload: PagePayload, repaired: bool = False) -> OcrPageResult:
         if payload.hocr_seed % 997 == 0:
             empty = H.synth_empty_page_hocr(payload.width_px, payload.height_px)
             page = H.parse_hocr(empty)
@@ -104,7 +158,7 @@ class SimulatedCuneiform(SimulatedTesseract):
                 page_h_pt=H.px_to_pt(page.height_px, payload.dpi),
                 words=(),
             )
-        return super().ocr_page(payload)
+        return super().ocr_page(payload, repaired=repaired)
 
 
 _ENGINES = {

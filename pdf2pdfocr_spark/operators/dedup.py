@@ -23,7 +23,12 @@ TOKEN_SPLIT_RE = r"\s+"
 
 
 def _tokens(col):
-    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+    # drop empty tokens: split('') yields [''] and every DuckDB oracle
+    # filters length(x) > 0 — an empty/whitespace-only document must hash
+    # identically in both engines (matches text_analysis._tokens)
+    return F.filter(
+        F.split(F.trim(col), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
 
 
 def normalize_text(col):

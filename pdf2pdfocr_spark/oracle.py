@@ -32,11 +32,14 @@ batch continues (pdf2pdfocr.py:1531-1533) — never a job abort.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pdf2pdfocr_spark import hocr as H
 from pdf2pdfocr_spark.ocr_engine import OcrConfig, get_engine
 from pdf2pdfocr_spark.schema import PagePayload
+
+_SKEW_RE = re.compile(r"skew=[0-9.]+")
 
 
 @dataclass(frozen=True)
@@ -50,7 +53,10 @@ class PipelineConfig:
     avoid_encrypted: bool = False    # -a
     safe_mode: bool = False          # -s skip docs already in the done set
     ignore_existing_text: bool = False  # --ignore-existing-text
-    deskew_threshold: float = 0.0    # -d (deskew forces rebuild, 762-764)
+    deskew_threshold: float = 0.0    # -d (>0 = use_deskew_mode: deskew pages
+    #                                  before OCR AND force rebuild, 762-764)
+    autorotate: bool = False         # --autorotate (use_autorotate, 526):
+    #                                  rotate final pages upright per OSD
     force_rebuild: bool = False      # -f
     # X2 page-skew salting (Spark side only): a doc's pages spread over up
     # to this many shuffle keys. Keep it ≥ several× the partition count —
@@ -61,6 +67,25 @@ class PipelineConfig:
     # and reassembly-join path) — measured ~2× the scan cost back, since
     # array<struct> parquet decode dominates the scan
     cache_admitted: bool = True
+    # Persist the assembled output before consuming BOTH branches
+    # (processed + quarantine): without it the expensive OCR stage is
+    # recomputed for the second action. Off by default (single-action
+    # consumers pay nothing); checkpointed jobs flip it on (jobs.py).
+    cache_assembled: bool = False
+
+    def __post_init__(self):
+        # check_rebuild_pdf raises when rebuild-from-images is combined with
+        # --ignore-existing-text ("won't work together", pdf2pdfocr.py:765-767)
+        # — the statically-known combinations fail fast at config time; the
+        # per-document trigger (encrypted input) quarantines instead.
+        if self.ignore_existing_text and (
+            self.force_rebuild or self.deskew_threshold > 0
+        ):
+            raise ValueError(
+                "rebuild from images (force_rebuild/deskew) and "
+                "ignore_existing_text won't work together "
+                "(check_rebuild_pdf, pdf2pdfocr.py:765-767)"
+            )
 
 
 SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
@@ -154,19 +179,54 @@ def extract_document(
     if config.avoid_encrypted and encrypted:
         return skipped("encrypted")
 
+    # --- rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767):
+    # encrypted | non-pdf | use_deskew_mode | force — flag-driven, NOT
+    # skew-content-driven (the reference keys on the -d mode, not on whether
+    # pages actually are skewed)
+    rebuild = bool(
+        encrypted or config.force_rebuild or config.deskew_threshold > 0
+    )
+    # per-document rebuild×ignore_existing_text conflict (the dynamic part of
+    # check_rebuild_pdf's guard, 765-767): quarantine, batch continues
+    if rebuild and config.ignore_existing_text:
+        return skipped("rebuild_conflict")
+
     if config.safe_mode and doc_id in done_doc_ids:
         return skipped("output_exists")
 
     if config.max_pages is not None and len(image_spans) > config.max_pages:
         return skipped("max_pages")
 
-    # --- rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767) -----
-    any_skew = any(p.skew_pct > 0 for p in payloads.values())
-    rebuild = bool(
-        encrypted
-        or config.force_rebuild
-        or (config.deskew_threshold > 0 and any_skew)
-    )
+    # --- P5 deskew BEFORE OCR (mogrify -deskew in place on the page images,
+    # pdf2pdfocr.py:94-101, driver 1085-1098): the page payload itself is
+    # rewritten skew→0, so OCR sees a straight page. Without -d, OCR sees the
+    # skewed capture and emits the smudged text (hocr.synth_hocr).
+    if config.deskew_threshold > 0:
+        payloads = {
+            off: PagePayload(
+                p.width_px, p.height_px, p.dpi, p.n_colors, p.rotation,
+                0.0, p.layout, p.hocr_seed,
+            )
+            for off, p in payloads.items()
+        }
+
+    # P6 autorotate applies only when OSD info exists for EVERY page; blank
+    # pages are excluded from OSD generation (pdf2pdfocr.py:1021), so any
+    # blank page makes the OSD-count guard (1044-1047) skip the whole doc —
+    # a reference quirk mirrored deliberately.
+    any_blank = any(p.is_blank for p in payloads.values())
+    do_rotate = config.autorotate and not any_blank
+
+    def _emit_image(media_ref: str, payload: PagePayload) -> str:
+        if config.deskew_threshold > 0:
+            # deskew mode forces rebuild-from-(deskewed)-images, so the
+            # emitted page reflects the straightened capture
+            media_ref = _SKEW_RE.sub("skew=0.0", media_ref)
+        if do_rotate and payload.rotation:
+            # rotateClockwise(OSD angle) folds into the emitted span: the
+            # final page displays upright (apply at pdf2pdfocr.py:1070-1073)
+            return media_ref.replace(f"rot={payload.rotation}", "rot=0")
+        return media_ref
 
     # --- per-page OCR + interleaved emission ---------------------------------
     engine = None if config.ocr.engine == "no_ocr" else get_engine(config.ocr)
@@ -179,10 +239,10 @@ def extract_document(
             out.append(_span("text", s["text"], "", -1))
             continue
         payload = payloads[s["offset"]]
-        out.append(_span("image", "", s["media_ref"], -1))
+        out.append(_span("image", "", _emit_image(s["media_ref"], payload), -1))
         if engine is None or payload.is_blank:
             continue
-        result = engine.ocr_page(payload)
+        result = engine.ocr_page_with_repair(payload)
         page_texts.append(result.text)
         for w in result.words:
             out.append(_span("text", w.text, "", -1))

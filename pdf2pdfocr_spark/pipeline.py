@@ -107,6 +107,14 @@ def apply_gates(
     encrypted = F.coalesce(F.col("meta")["encrypted"] == "true", F.lit(False))
     n_pages = F.size(F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")))
     df = df.withColumn("n_pages", n_pages).withColumn("encrypted", encrypted)
+    # rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767):
+    # encrypted | non-pdf | use_deskew_mode(-d) | force(-f) — flag-driven
+    df = df.withColumn(
+        "rebuild",
+        F.col("encrypted")
+        | F.lit(config.force_rebuild)
+        | F.lit(config.deskew_threshold > 0),
+    )
 
     if config.safe_mode and done_docs is not None:
         # F5 safe mode: output already exists → skip. The left join (vs a
@@ -127,6 +135,14 @@ def apply_gates(
         .when(corrupt, F.lit("corrupt"))
         .when(F.lit(config.check_text_mode) & F.col("has_text"), F.lit("has_text"))
         .when(F.lit(config.avoid_encrypted) & F.col("encrypted"), F.lit("encrypted"))
+        # per-doc rebuild×ignore_existing_text conflict (check_rebuild_pdf
+        # raises "won't work together", pdf2pdfocr.py:765-767) — statically-
+        # known combos already failed at config time; the dynamic trigger
+        # (encrypted input) quarantines here, batch continues
+        .when(
+            F.lit(config.ignore_existing_text) & F.col("rebuild"),
+            F.lit("rebuild_conflict"),
+        )
         .when(F.coalesce(F.col("_done"), F.lit(False)), F.lit("output_exists"))
     )
     if config.max_pages is not None:
@@ -192,18 +208,38 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = get_engine(ocr_cfg)
-        call = engine.ocr_page
+        # R7 retry ladder: engine failure gets one repair-and-retry before
+        # quarantine (try_repair_input_and_merge, pdf2pdfocr.py:909-926)
+        call = engine.ocr_page_with_repair
         if ocr_cfg.page_timeout_s:
-            # X5 timeout ladder: a stuck page quarantines, the batch lives
-            # (reference doc-level timeout, pdf2pdfocr.py:1511-1528)
-            from concurrent.futures import ThreadPoolExecutor
+            # X5 timeout: a stuck page quarantines, the batch lives
+            # (reference doc-level timeout, pdf2pdfocr.py:1511-1528).
+            # One fresh watchdog thread per page, ABANDONED on timeout — a
+            # shared 1-worker pool would let the stuck call occupy the only
+            # worker so every later page in the batch queues behind it and
+            # falsely times out (round-1 X5 bug). The abandoned daemon
+            # thread can't poison anything: each page gets its own.
+            import threading
 
-            pool = ThreadPoolExecutor(max_workers=1)
+            def call(payload, _base=call):  # noqa: F811
+                box: dict = {}
 
-            def call(payload, _pool=pool):  # noqa: F811
-                return _pool.submit(engine.ocr_page, payload).result(
-                    timeout=ocr_cfg.page_timeout_s
-                )
+                def _target():
+                    try:
+                        box["value"] = _base(payload)
+                    except BaseException as exc:  # noqa: BLE001
+                        box["error"] = exc
+
+                t = threading.Thread(target=_target, daemon=True)
+                t.start()
+                t.join(ocr_cfg.page_timeout_s)
+                if t.is_alive():
+                    raise TimeoutError(
+                        f"page OCR exceeded {ocr_cfg.page_timeout_s}s"
+                    )
+                if "error" in box:
+                    raise box["error"]
+                return box["value"]
 
         for pdf in batches:
             n = len(pdf)
@@ -254,7 +290,40 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
 # 6. ordered reassembly + interleaved emission (JVM-side)
 # --------------------------------------------------------------------------
 
-def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
+def _deskewed_spans(spans: Column) -> Column:
+    """P5 deskew transform over the span array: image payloads rewritten
+    skew→0 (the `mogrify -deskew` in-place analog, pdf2pdfocr.py:94-101).
+    Module-level so mutation tests can break it and watch goldens fail."""
+    return F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.when(
+                s["kind"] == F.lit("image"),
+                F.regexp_replace(s["media_ref"], r"skew=[0-9.]+", "skew=0.0"),
+            ).otherwise(s["media_ref"]).alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+
+def _autorotated_ref(kind: Column, media_ref: Column, autorotate: bool) -> Column:
+    """P6 rotate-apply: fold the per-page OSD angle into the emitted image
+    span — the final page displays upright (rotateClockwise at
+    pdf2pdfocr.py:1070-1073), guarded by the doc-level OSD-count rule
+    (``any_blank``, see extract). Codegen'd regexp_replace."""
+    if not autorotate:
+        return media_ref
+    return F.when(
+        (kind == F.lit("image")) & ~F.col("any_blank"),
+        F.regexp_replace(media_ref, r"rot=\d+", "rot=0"),
+    ).otherwise(media_ref)
+
+
+def reassemble(
+    admitted: DataFrame, ocr_results: DataFrame, autorotate: bool = False
+) -> DataFrame:
     """R1/R2/R3: per-doc ordered aggregation of page results, then the
     interleaved sandwich merge — each original span in offset order; image
     spans followed by their OCR'd word spans; offsets renumbered. Page order
@@ -284,7 +353,9 @@ def reassemble(admitted: DataFrame, ocr_results: DataFrame) -> DataFrame:
             F.lit(0).alias("k2"),
             s["kind"].alias("kind"),
             s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
+            _autorotated_ref(s["kind"], s["media_ref"], autorotate).alias(
+                "media_ref"
+            ),
         ),
     )
     word_spans = F.flatten(
@@ -368,19 +439,31 @@ def extract(
     # Derived per-doc columns are computed AFTER the admission filter: the
     # payload-field casts are only valid on admitted rows (a corrupt
     # media_ref would throw under ANSI), and quarantined rows don't need
-    # them anyway.
+    # them anyway. (The rebuild flag itself is computed in apply_gates — the
+    # rebuild_conflict gate needs it.)
 
-    # rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767)
-    any_skew = F.exists(
-        SPAN(),
-        lambda s: (s["kind"] == F.lit("image"))
-        & (F.regexp_extract(s["media_ref"], r"skew=([0-9.]+)", 1).cast("double") > 0),
-    )
+    # --- P5 deskew BEFORE OCR: the reference runs `mogrify -deskew` in
+    # place on every page image ahead of external_ocr (pdf2pdfocr.py:94-101,
+    # 1085-1098), then rebuilds the output from those straightened images.
+    # Rewriting skew→0 on the admitted span array mirrors both effects at
+    # once: the exploded OCR path sees a straight page AND the reassembled
+    # output span carries the straightened capture. Pure codegen'd
+    # regexp_replace — no Python touches the page.
+    if config.deskew_threshold > 0:
+        admitted = admitted.withColumn("spans", _deskewed_spans(SPAN()))
+
+    # P6 autorotate eligibility: blank pages are excluded from OSD
+    # generation (pdf2pdfocr.py:1021), so the OSD-count guard (1044-1047)
+    # skips autorotation for any doc containing a blank page — a reference
+    # quirk mirrored deliberately.
     admitted = admitted.withColumn(
-        "rebuild",
-        F.col("encrypted")
-        | F.lit(config.force_rebuild)
-        | (F.lit(config.deskew_threshold > 0) & any_skew),
+        "any_blank",
+        F.exists(
+            # filter to image spans BEFORE the cast: text spans carry
+            # media_ref '' and the payload-field cast would throw under ANSI
+            F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")),
+            lambda s: _payload_field(s["media_ref"], "colors").cast("int") == 1,
+        ),
     )
 
     # R6 smart preset: ALL pages greyscale → 'best' else 'jpeg'
@@ -433,14 +516,19 @@ def extract(
         )
 
     if config.ocr.engine == "no_ocr":
-        # O3 passthrough: identity projection, offsets renumbered
+        # O3 passthrough: identity projection, offsets renumbered; P6
+        # autorotate still applies (autorotate_final_output runs on the
+        # OUTPUT regardless of ocr_ignored, pdf2pdfocr.py:719-720)
         processed = admitted.select(
             "doc_id",
             F.transform(
                 sorted_by_offset(SPAN()),
                 lambda x, i: F.struct(
                     x["kind"].alias("kind"), x["text"].alias("text"),
-                    x["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
+                    _autorotated_ref(
+                        x["kind"], x["media_ref"], config.autorotate
+                    ).alias("media_ref"),
+                    i.cast("int").alias("offset"),
                 ),
             ).alias("spans"),
             F.lit("").alias("doc_text"),
@@ -456,7 +544,13 @@ def extract(
     ocr_input = salted_repartition(ocr_input, num_partitions, config.salt_buckets)
     ocr_results = run_ocr(ocr_input, config)
 
-    assembled = reassemble(admitted, ocr_results)
+    assembled = reassemble(admitted, ocr_results, autorotate=config.autorotate)
+    if config.cache_assembled:
+        from pyspark.storagelevel import StorageLevel
+
+        # both output branches (processed + quarantine) consume this frame;
+        # without the persist the OCR stage recomputes for the second action
+        assembled = assembled.persist(StorageLevel.MEMORY_AND_DISK)
     processed = assembled.filter(F.col("page_error").isNull()).drop("page_error")
     quarantine = quarantined_by_gate.unionByName(
         assembled.filter(F.col("page_error").isNotNull()).select(

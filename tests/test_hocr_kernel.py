@@ -23,10 +23,24 @@ def test_namespaced_hocr_parses():
     assert page.width_px == 100
 
 
-def test_missing_page_bbox_raises():
-    # reference aborts when page dims are absent (pdf2pdfocr.py:308-309)
+def test_missing_page_div_raises_but_missing_bbox_defaults():
+    # reference aborts only when there is NO ocr_page div (pdf2pdfocr.py:
+    # 299-309); a bbox-less div defaults to Rect(0,0,0,0) exactly like
+    # element_coordinates (336-347)
     with pytest.raises(ValueError):
-        H.parse_hocr("<html><body><div class='ocr_page'></div></body></html>")
+        H.parse_hocr("<html><body><p>no page div</p></body></html>")
+    page = H.parse_hocr(
+        "<html><body><div class='ocr_page'>"
+        "<span class='ocrx_word'>plain</span>"
+        "<span class='ocrx_word' title='bbox 1 2 3 4'>boxed</span>"
+        "</div></body></html>"
+    )
+    assert page.width_px == 0 and page.height_px == 0
+    # bbox-less word included with the (0,0,0,0) default, not skipped
+    assert [(w.text, w.x1, w.y1, w.x2, w.y2) for w in page.words] == [
+        ("plain", 0, 0, 0, 0),
+        ("boxed", 1, 2, 3, 4),
+    ]
 
 
 def test_ligature_normalization():
