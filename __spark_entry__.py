@@ -111,6 +111,6 @@ def oracle_sql() -> dict[str, str]:
     import sys
 
     sys.path.insert(0, "/root/repo")
-    from pdf2pdfocr_spark.plans.entry_queries import ORACLES
+    from pdf2pdfocr_spark.plans.entry_queries import EXTRA_ORACLES, ORACLES
 
-    return dict(ORACLES)
+    return {**ORACLES, **EXTRA_ORACLES}

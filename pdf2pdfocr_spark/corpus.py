@@ -173,7 +173,17 @@ def documents_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * 12 + 1, 12)),
     )
-    seed = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(2**31 - 1)) + F.lit(1)
+    # md5-derived seed (NOT xxhash64): reproducible from pure Python
+    # (tools/gen_goldens.py) and from DuckDB, so the flagship pipeline gets
+    # an engine-independent golden oracle
+    seed = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(2**31 - 1),
+        )
+        + F.lit(1)
+    )
     media_ref = F.format_string(
         "sim://w=%d;h=%d;dpi=300;colors=17;rot=0;skew=0.0;layout=single;seed=%d",
         F.lit(A4_W), F.lit(A4_H), seed + F.lit(7),
@@ -198,9 +208,13 @@ def documents_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return raw.select(
-        F.format_string("doc-%09d", F.col("doc_id")).alias("doc_id"),
-        spans.alias("spans"),
+    # two-step select: putting the formatted doc_id alias in the SAME select
+    # as `spans` would make spans' inner F.col("doc_id") resolve to the
+    # LATERAL column alias (the 'doc-%09d' string) instead of the raw int —
+    # silently changing every md5-derived seed
+    return raw.select(F.col("doc_id").alias("raw_doc_id"), spans.alias("spans")).select(
+        F.format_string("doc-%09d", F.col("raw_doc_id")).alias("doc_id"),
+        "spans",
         F.create_map(
             F.lit("producer"), F.lit("testdata"), F.lit("class"), F.lit("mixed")
         ).alias("meta"),

@@ -91,47 +91,80 @@ def with_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
 
 
+def ngram_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct candidate pairs sharing ≥1 LOW-document-frequency shingle.
+
+    Round-1 verdict: without a df cutoff one stop-phrase shingle appearing
+    in k docs yields k² join rows. Shingles with df > ``max_df`` are dropped
+    from the inverted index BEFORE the self-join — they carry ~zero Jaccard
+    signal (a shingle shared by everyone distinguishes nothing) but all of
+    the quadratic blow-up. Trade-off (documented): a pair whose ONLY shared
+    shingles are stop-phrases is missed; every surfaced pair still gets its
+    EXACT full-set Jaccard in ngram_jaccard_pairs.
+    """
+    sh = with_shingles(docs, n, id_col, text_col)
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    low_df = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    inv = inv.join(low_df, "shingle")
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int = 1000,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold.
+    """All candidate pairs with shingle-set Jaccard ≥ threshold.
 
-    Exploded inverted-index join (shingle → docs), NOT a doc×doc cross join:
-    pairs are generated only for docs sharing ≥1 shingle, then intersection
-    counts come from a groupBy — the standard scalable similarity-join shape.
+    Inverted-index candidate generation with a document-frequency cutoff
+    (ngram_candidate_pairs), NOT a doc×doc cross join; each candidate is
+    verified with the EXACT Jaccard over the full shingle sets (so the df
+    cutoff only affects which pairs are surfaced, never their scores).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = with_shingles(docs, n, id_col, text_col)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    cand = ngram_candidate_pairs(docs, n, max_df, id_col, text_col)
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn(
+            "_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         )
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
-    return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("n_sh", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n_sh", "sz_b"), "id_b")
         .withColumn(
             "_j",
-            F.col("n_common")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            F.col("_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_common")),
         )
         # filter on the raw double, round only for output — keeps the
         # admit/reject decision bit-identical with the DuckDB oracle
         .filter(F.col("_j") >= threshold)
         .select("id_a", "id_b", F.round(F.col("_j"), 6).alias("jaccard"))
     )
+    return verified
 
 
 # --------------------------------------------------------------------------

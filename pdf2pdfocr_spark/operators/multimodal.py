@@ -113,28 +113,34 @@ def extract_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # zip over column arrays (like pipeline.run_ocr) — iterrows()
+            # builds a Series per row and is the slowest pandas path
             rows = []
-            for _, r in pdf.iterrows():
+            for media_id, media_type, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["media_type"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
                 out = {
-                    "media_id": r["media_id"], "media_type": r["media_type"],
+                    "media_id": media_id, "media_type": media_type,
                     "feature": None, "out_width": None, "out_height": None,
                     "n_frames_sampled": None, "error": None,
                 }
                 try:
-                    arr = decoder.decode(r["payload"], r["media_type"])
-                    if r["media_type"] == "image":
+                    arr = decoder.decode(payload, media_type)
+                    if media_type == "image":
                         small = _resize_image(arr, *resize_to)
                         out["out_width"], out["out_height"] = resize_to
                         chunks = np.array_split(
                             small.astype(np.float64).ravel(), feat_dim
                         )
                         out["feature"] = [float(c.mean()) for c in chunks]
-                    elif r["media_type"] == "audio":
+                    elif media_type == "audio":
                         bands = np.array_split(arr.astype(np.float64), feat_dim)
                         out["feature"] = [
                             float(np.sqrt((b**2).mean())) for b in bands
                         ]
-                    elif r["media_type"] == "video":
+                    elif media_type == "video":
                         frames = _frame_sample(arr, n_frames)
                         out["n_frames_sampled"] = int(frames.shape[0])
                         means = frames.astype(np.float64).reshape(
@@ -144,7 +150,7 @@ def extract_features(
                         pad[: len(means)] = means[:feat_dim]
                         out["feature"] = [float(x) for x in pad]
                     else:
-                        out["error"] = f"unknown media_type {r['media_type']}"
+                        out["error"] = f"unknown media_type {media_type}"
                 except NotImplementedError as exc:
                     out["error"] = f"decoder_unavailable: {exc}"
                 except Exception as exc:  # noqa: BLE001

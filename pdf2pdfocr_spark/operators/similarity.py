@@ -125,31 +125,90 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
-def knn_join(
+def knn_candidates(
     embeddings: DataFrame,
     planes: list,
-    k: int = 5,
+    bands: int = 2,
+    bucket_cap: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 5,
 ) -> DataFrame:
-    """Top-k neighbours for every vector, candidates restricted to the same
-    LSH bucket (self-join on bucket, window top-k per left id). The bucketed
-    join bounds the pair count; skewed buckets are handled by AQE skew-join.
-    Output: (vec_id, neighbour_id, score)."""
-    b = with_lsh_bucket(embeddings, planes, vec_col).select(
+    """Candidate neighbour pairs from MULTIPLE independent LSH band tables
+    with a per-bucket population cap.
+
+    Round-1 verdict: one table of H planes = 2^H buckets makes the
+    self-join quadratic within each bucket (~n²/2^H pairs). Instead the
+    planes split into ``bands`` groups of r = H/bands planes; each band is
+    its own (smaller, higher-recall) bucket table, candidates are the UNION
+    over bands, and each (band, bucket) keeps at most ``bucket_cap``
+    members (deterministic vec_id rank) — so a degenerate bucket holding
+    half the corpus contributes O(cap²) pairs, never O(n²). Distinct
+    (vec_id, neighbour_id) pairs out; scoring happens in knn_join.
+    """
+    bands = max(1, min(bands, len(planes)))
+    r = len(planes) // bands
+    base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        "lsh_bucket",
     )
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"), "lsh_bucket")
+    bucketed = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_of(F.col("v"), planes[b * r:(b + 1) * r])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("vec_id")
+    capped = (
+        bucketed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= bucket_cap)
+        .drop("_rk")
+    )
+    return (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "bucket"])
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbour_id"),
-            F.round(cosine_sim(F.col("a.v"), F.col("b.v")), round_to).alias("score"),
+        )
+        .distinct()
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    planes: list,
+    k: int = 5,
+    bands: int = 2,
+    bucket_cap: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """Top-k neighbours for every vector over multi-band LSH candidates
+    (see knn_candidates). Output: (vec_id, neighbour_id, score)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cand = knn_candidates(embeddings, planes, bands, bucket_cap, id_col, vec_col)
+    pairs = (
+        cand.join(vecs.withColumnRenamed("v", "v_a"), "vec_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbour_id"), F.col("v").alias("v_b")
+            ),
+            "neighbour_id",
+        )
+        .select(
+            "vec_id",
+            "neighbour_id",
+            F.round(cosine_sim(F.col("v_a"), F.col("v_b")), round_to).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbour_id"))
@@ -164,12 +223,17 @@ def embedding_near_dups(
     embeddings: DataFrame,
     planes: list,
     threshold: float = 0.95,
+    bands: int = 2,
+    bucket_cap: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (score ≥ threshold), LSH-bucketed
-    — the embedding leg of the dedup suite."""
-    nn = knn_join(embeddings, planes, k=20, id_col=id_col, vec_col=vec_col)
+    """Embedding-cosine near-duplicate pairs (score ≥ threshold), multi-band
+    LSH-bucketed — the embedding leg of the dedup suite."""
+    nn = knn_join(
+        embeddings, planes, k=20, bands=bands, bucket_cap=bucket_cap,
+        id_col=id_col, vec_col=vec_col,
+    )
     return (
         nn.filter((F.col("score") >= threshold) & (F.col("vec_id") < F.col("neighbour_id")))
         .select(

@@ -471,25 +471,32 @@ _DUCK_SHINGLES = _duck_shingles(200, 3)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     # bigrams over the first 150 docs with a threshold inside the observed
     # similarity tail, so the check is non-trivial (returns pairs) at both
-    # gate scales
+    # gate scales; max_df exercises the hot-shingle cutoff end-to-end
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.08, text_col="text")
+    return dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.08, text_col="text", max_df=30
+    )
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH {_duck_shingles(150, 2)},
 inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
-  FROM inv a JOIN inv b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+low AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 30),
+inv2 AS (SELECT doc_id, s FROM inv JOIN low USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv2 a JOIN inv2 b USING (s) WHERE a.doc_id < b.doc_id
 ),
-sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
-SELECT id_a, id_b,
-       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-FROM pairs
-JOIN sz sa ON sa.doc_id = id_a
-JOIN sz sb ON sb.doc_id = id_b
-WHERE n_common / (sa.n + sb.n - n_common) >= 0.08
+v AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS c,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(c / (na + nb - c), 6) AS jaccard
+FROM v WHERE c / (na + nb - c) >= 0.08
 """
 
 # --- dedup: MinHash signatures -------------------------------------------------
@@ -563,6 +570,135 @@ FROM embeddings, q
 ORDER BY score DESC, vec_id
 LIMIT 10
 """
+
+# --- similarity: LSH oracles with hyperplanes inlined as SQL literals --------
+#
+# The hyperplanes are deterministic driver-side float lists
+# (similarity.hyperplanes, seeded) — inlining them as DOUBLE[] literals lets
+# DuckDB reproduce bucket assignment bit-for-bit: both engines compute
+# sign(list_dot_product(vec, plane)) over the same double arrays in the same
+# order. EMB_DIM is pinned by the driver testdata (embeddings.parquet).
+
+EMB_DIM = 64
+
+
+def _duck_vec(p: list) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _duck_bucket(planes: list, vec_expr: str) -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_duck_vec(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PLANES_8 = similarity.hyperplanes(EMB_DIM, 8, seed=42)   # lsh_ann_topk
+_PLANES_6 = similarity.hyperplanes(EMB_DIM, 6, seed=42)   # knn / near-dups
+
+_DUCK_COS = (
+    "round(list_dot_product(va.v, vb.v) / "
+    "(sqrt(list_dot_product(va.v, va.v)) * "
+    "sqrt(list_dot_product(vb.v, vb.v))), 5)"
+)
+
+SQL_LSH_ANN_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_duck_bucket(_PLANES_8, "CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS score
+FROM b, q
+WHERE bit_count(CAST(xor(bucket, qb) AS BIGINT)) <= 1
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+# multi-band candidate generation mirroring similarity.knn_candidates:
+# bands=2, r=3 planes each, per-(band,bucket) cap 1000 by vec_id rank
+_DUCK_KNN_SCORED = f"""
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (
+  SELECT vec_id, 0 AS band,
+         {_duck_bucket(_PLANES_6[0:3], "v")} AS bucket FROM base
+  UNION ALL
+  SELECT vec_id, 1 AS band,
+         {_duck_bucket(_PLANES_6[3:6], "v")} AS bucket FROM base
+),
+capped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id)
+              AS rk
+    FROM bk
+  ) WHERE rk <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbour_id
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.neighbour_id, {_DUCK_COS} AS score
+  FROM cand c
+  JOIN base va ON va.vec_id = c.vec_id
+  JOIN base vb ON vb.vec_id = c.neighbour_id
+)
+"""
+
+SQL_KNN_JOIN = f"""
+WITH {_DUCK_KNN_SCORED}
+SELECT vec_id, neighbour_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, neighbour_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+SQL_EMB_NEAR_DUPS = f"""
+WITH {_DUCK_KNN_SCORED},
+topk AS (
+  SELECT vec_id, neighbour_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, neighbour_id) AS rn
+    FROM scored
+  ) WHERE rn <= 20
+)
+SELECT DISTINCT vec_id AS id_a, neighbour_id AS id_b, score
+FROM topk WHERE score >= 0.35 AND vec_id < neighbour_id
+"""
+
+# --- golden-parquet oracles (non-SQL-expressible kernels) ---------------------
+#
+# The flagship OCR simulator and the multimodal fake decoder are seeded
+# Python kernels — their oracles are golden parquets generated by the
+# INDEPENDENT pure-Python implementation in tools/gen_goldens.py (the
+# single-doc oracle / a from-scratch numpy reimplementation), committed
+# under golden/ and re-checked by tests/test_goldens.py.
+
+SQL_FLAGSHIP_GOLDEN = """
+SELECT doc_id, n_spans, n_pages, text_hash
+FROM read_parquet('/root/repo/golden/flagship_sf0.01.parquet')
+"""
+
+SQL_MULTIMODAL_GOLDEN = """
+SELECT media_id, media_type, n_frames_sampled, error, feature_sum
+FROM read_parquet('/root/repo/golden/multimodal_features.parquet')
+"""
+
+EXTRA_ORACLES = {
+    "sim_lsh_ann_topk": SQL_LSH_ANN_TOPK,
+    "sim_knn_join": SQL_KNN_JOIN,
+    "sim_embedding_near_dups": SQL_EMB_NEAR_DUPS,
+    "flagship_extract_spans": SQL_FLAGSHIP_GOLDEN,
+    "multimodal_features": SQL_MULTIMODAL_GOLDEN,
+}
 
 # --- text analysis ----------------------------------------------------------------
 

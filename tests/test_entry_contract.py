@@ -60,7 +60,11 @@ def test_query_matches_duckdb(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
+    sql = entry_mod.oracle_sql()[name]
+    # the driver's gate runs at sf0.01 (where the committed golden points);
+    # this local replica runs at sf0.001 — swap in the matching golden
+    sql = sql.replace("flagship_sf0.01.parquet", "flagship_sf0.001.parquet")
+    res = duck.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
