@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf2pdfocr_spark import lineage
 from pdf2pdfocr_spark.ocr_engine import OcrConfig
 from pdf2pdfocr_spark.oracle import PipelineConfig
-from pdf2pdfocr_spark.pipeline import build_spark, extract
+from pdf2pdfocr_spark.pipeline import StageProgress, build_spark, extract
 
 
 def run_extraction_job(
@@ -40,8 +40,10 @@ def run_extraction_job(
     # persist the assembled frame so the OCR stage runs exactly once
     config = dataclasses.replace(config, cache_assembled=True)
     remaining = lineage.resume_filter(docs, out_path)
-    processed, quarantine = extract(remaining, config)
+    progress = StageProgress(spark)  # O5 live per-stage page counts
+    processed, quarantine = extract(remaining, config, progress=progress)
     lineage.write_checkpointed(processed, quarantine, out_path, run_id)
+    lineage.write_metrics(spark, out_path, run_id, progress.snapshot())
     lin = lineage.read_lineage(spark, out_path).filter(f"run_id = '{run_id}'")
     from pyspark.sql import functions as F
 
@@ -49,7 +51,12 @@ def run_extraction_job(
         F.coalesce(F.sum("n_docs"), F.lit(0)).alias("docs"),
         F.coalesce(F.sum("n_spans"), F.lit(0)).alias("spans"),
     ).collect()[0]
-    return {"run_id": run_id, "n_docs": row["docs"], "n_spans": row["spans"]}
+    return {
+        "run_id": run_id,
+        "n_docs": row["docs"],
+        "n_spans": row["spans"],
+        "progress": progress.snapshot(),
+    }
 
 
 def _parse_args(argv=None) -> argparse.Namespace:

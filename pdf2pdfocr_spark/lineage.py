@@ -88,6 +88,22 @@ def resume_filter(docs: DataFrame, out_path: str) -> DataFrame:
     return docs.join(done, "doc_id", "left_anti")
 
 
+def write_metrics(
+    spark: SparkSession, out_path: str, run_id: str, counts: dict
+) -> None:
+    """O5 per-stage metrics ledger: the accumulator snapshot (one row per
+    stage counter) appended next to the lineage table — the durable form of
+    the reference's marker-file progress (pdf2pdfocr.py:985-991)."""
+    rows = [(run_id, stage, int(v)) for stage, v in sorted(counts.items())]
+    spark.createDataFrame(rows, "run_id string, stage string, n long").coalesce(
+        1
+    ).write.mode("append").parquet(f"{out_path}/metrics")
+
+
+def read_metrics(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.parquet(f"{out_path}/metrics")
+
+
 def read_output(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(f"{out_path}/spans")
 

@@ -193,8 +193,27 @@ def salted_repartition(pages: DataFrame, num_partitions: int, salt_buckets: int)
 # 5. OCR + hOCR extraction (the Arrow escape hatch)
 # --------------------------------------------------------------------------
 
+class StageProgress:
+    """O5 live progress: Spark accumulators updated from inside the OCR
+    stage — the cluster-native analog of the reference's per-page ``.tmp``
+    marker files polled by glob (pdf2pdfocr.py:160, 985-991). Counts are
+    visible on the driver WHILE the job runs (accumulator updates arrive per
+    task) and are persisted per stage into the lineage metrics table by
+    jobs.run_extraction_job."""
+
+    STAGES = ("ocr_pages_in", "ocr_pages_ok", "ocr_pages_err")
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self.acc = {name: sc.accumulator(0) for name in self.STAGES}
+
+    def snapshot(self) -> dict:
+        return {name: a.value for name, a in self.acc.items()}
+
+
 def run_ocr(pages: DataFrame, config: PipelineConfig,
-            keep_geometry: bool = False) -> DataFrame:
+            keep_geometry: bool = False,
+            progress: StageProgress | None = None) -> DataFrame:
     """O1/O2 + H1-H6 in one ``mapInPandas`` pass: per Arrow batch, decode the
     page payload, run the (pluggable) OCR engine, parse hOCR to ordered word
     boxes. Per-page failures become ``error`` rows (quarantine, R7) — the
@@ -205,6 +224,7 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
     (H7, pdf2pdfocr.py:419-430) — geometry roughly doubles the bytes the
     reassembly shuffle must move, so the span path never carries it."""
     ocr_cfg = config.ocr  # capture the small dataclass, not `config`'s frame
+    acc = progress.acc if progress is not None else None
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = get_engine(ocr_cfg)
@@ -261,10 +281,20 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                     res = call(payload)
                     out["page_text"][i] = res.text
                     if keep_geometry:
+                        from pdf2pdfocr_spark.functions.render import (
+                            word_render_geometry,
+                        )
+
                         # tuples, not dicts: Arrow struct conversion from
-                        # dicts is ~4× slower
+                        # dicts is ~4× slower. Each word carries its H7
+                        # render geometry (fontsize + Helvetica h-scale,
+                        # pdf2pdfocr.py:419-430) for the PDF-synthesis sink.
                         out["word_boxes"][i] = [
-                            (w.text, w.x1, w.y1, w.x2, w.y2) for w in res.words
+                            (w.text, w.x1, w.y1, w.x2, w.y2)
+                            + word_render_geometry(
+                                w.text, w.x1, w.y1, w.x2, w.y2, payload.dpi
+                            )
+                            for w in res.words
                         ]
                         out["page_w_pt"][i] = res.page_w_pt
                         out["page_h_pt"][i] = res.page_h_pt
@@ -272,6 +302,11 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                         out["words"][i] = [w.text for w in res.words]
                 except Exception as exc:  # noqa: BLE001 — quarantine, not abort
                     out["error"][i] = f"{type(exc).__name__}: {exc}"
+            if acc is not None:  # O5 live progress, per Arrow batch
+                n_err = sum(1 for e in out["error"] if e is not None)
+                acc["ocr_pages_in"].add(n)
+                acc["ocr_pages_ok"].add(n - n_err)
+                acc["ocr_pages_err"].add(n_err)
             cols = (
                 ["doc_id", "offset", "page_text", "word_boxes",
                  "page_w_pt", "page_h_pt", "error"]
@@ -407,6 +442,7 @@ def extract(
     config: PipelineConfig | None = None,
     done_docs: DataFrame | None = None,
     num_partitions: int | None = None,
+    progress: StageProgress | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """documents → (processed, quarantine). Lazy: nothing executes until an
     action; Catalyst keeps the gates upstream of the Arrow stage (predicate
@@ -542,7 +578,7 @@ def extract(
     pages = explode_pages(admitted, config)
     ocr_input = pages.filter(~F.col("is_blank"))  # F6/F7 blank skip
     ocr_input = salted_repartition(ocr_input, num_partitions, config.salt_buckets)
-    ocr_results = run_ocr(ocr_input, config)
+    ocr_results = run_ocr(ocr_input, config, progress=progress)
 
     assembled = reassemble(admitted, ocr_results, autorotate=config.autorotate)
     if config.cache_assembled:

@@ -257,6 +257,137 @@ SELECT p_partkey, round(p_retailprice / 300.0 * 72.0, 4) AS pts,
 FROM part
 """
 
+# --- H7: invisible-text render geometry (fontsize + Helvetica h-scale) -------
+
+def q_h7_render_geometry(spark, sf_dir):
+    """Reference render math (pdf2pdfocr.py:419-430) over deterministic
+    word boxes derived from document tokens: fontsize = bbox height in pt,
+    h_scale = 100 × bbox width / Helvetica stringWidth. The glyph-width
+    aggregate is the same codegen'd expression the geometry sink uses."""
+    from pdf2pdfocr_spark.functions.render import char_width_sum
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    t = docs.select("doc_id", F.posexplode(toks).alias("word_no", "word"))
+    # synthetic bbox: 18 px per char wide, 28 px tall, at 300 dpi
+    fontsize = F.lit(28.0) / F.lit(300.0) * F.lit(72.0)
+    width_pt = (F.lit(18.0) * F.length("word")) / F.lit(300.0) * F.lit(72.0)
+    sw = char_width_sum(F.col("word")).cast("double") * fontsize / F.lit(1000.0)
+    return t.select(
+        "doc_id",
+        F.col("word_no").cast("int").alias("word_no"),
+        "word",
+        F.round(fontsize, 4).alias("fontsize_pt"),
+        # floor-truncate instead of round: both engines floor the SAME IEEE
+        # double; round() diverges at shortest-repr decimal ties
+        (F.floor(F.lit(100.0) * width_pt / sw * F.lit(10000.0)) / F.lit(10000.0))
+        .alias("h_scale"),
+    )
+
+
+def _duck_char_width_case() -> str:
+    from pdf2pdfocr_spark.functions.render import HELVETICA_WIDTHS
+
+    whens = " ".join(
+        f"WHEN '{c}' THEN {w}" if c != "'" else f"WHEN '''' THEN {w}"
+        for c, w in HELVETICA_WIDTHS.items()
+    )
+    return f"CASE c {whens} ELSE 556 END"
+
+
+SQL_H7_RENDER = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id < 40
+),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks)),
+                i -> struct_pack(word_no := i, word := toks[i+1]))) AS u
+  FROM t
+),
+w AS (
+  SELECT doc_id, CAST(u.word_no AS INT) AS word_no, u.word AS word,
+         CAST(list_sum(list_transform(regexp_extract_all(u.word, '.'),
+              c -> {_duck_char_width_case()})) AS DOUBLE) AS wsum
+  FROM e
+)
+SELECT doc_id, word_no, word,
+       round(28.0 / 300.0 * 72.0, 4) AS fontsize_pt,
+       floor(100.0 * ((18.0 * length(word)) / 300.0 * 72.0)
+             / (wsum * (28.0 / 300.0 * 72.0) / 1000.0) * 10000.0) / 10000.0
+         AS h_scale
+FROM w
+"""
+
+# --- R4: multibackground merge decision table ---------------------------------
+
+def q_r4_multibackground(spark, sf_dir):
+    """Scale/tolerance/rotation merge math of the qpdf-less fallback
+    (pdf2pdfocr_multibackground.py:34-94) over deterministic page geometry
+    derived from the part table."""
+    from pdf2pdfocr_spark.functions.merge import multibackground_merge_plan
+
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        (F.lit(400) + F.col("p_size") * 7).cast("int").alias("img_w"),
+        (F.lit(600) + F.col("p_size") * 5).cast("int").alias("img_h"),
+        (F.lit(400) + F.col("p_size") * 7 + F.pmod(F.col("p_partkey"), F.lit(3)) * 2)
+        .cast("int").alias("txt_w"),
+        (F.lit(600) + F.col("p_size") * 5 + F.pmod(F.col("p_partkey"), F.lit(5)))
+        .cast("int").alias("txt_h"),
+        (F.pmod(F.col("p_partkey"), F.lit(4)) * 90).cast("int").alias("angle"),
+    )
+    return multibackground_merge_plan(
+        base,
+        F.col("img_w"), F.col("img_h"), F.col("txt_w"), F.col("txt_h"),
+        F.col("angle"),
+    )
+
+
+SQL_R4_MULTIBACKGROUND = """
+WITH base AS (
+  SELECT p_partkey,
+         CAST(400 + p_size * 7 AS INT) AS img_w,
+         CAST(600 + p_size * 5 AS INT) AS img_h,
+         CAST(400 + p_size * 7 + (p_partkey % 3) * 2 AS INT) AS txt_w,
+         CAST(600 + p_size * 5 + (p_partkey % 5) AS INT) AS txt_h,
+         CAST((p_partkey % 4) * 90 AS INT) AS angle
+  FROM part
+),
+m AS (
+  SELECT *,
+         CASE WHEN angle IN (90, 270) THEN CAST(img_h AS DOUBLE)
+              ELSE CAST(img_w AS DOUBLE) END AS eff_x,
+         CASE WHEN angle IN (90, 270) THEN CAST(img_w AS DOUBLE)
+              ELSE CAST(img_h AS DOUBLE) END AS eff_y
+  FROM base
+)
+SELECT p_partkey, img_w, img_h, txt_w, txt_h, angle,
+       CAST(floor(CAST(txt_w AS DOUBLE) / eff_x * 1000000.0) AS BIGINT)
+         AS factor_x_ppm,
+       CAST(floor(CAST(txt_h AS DOUBLE) / eff_y * 1000000.0) AS BIGINT)
+         AS factor_y_ppm,
+       (abs(CAST(txt_w AS DOUBLE) / eff_x - 1.0) > 0.001
+        OR abs(CAST(txt_h AS DOUBLE) / eff_y - 1.0) > 0.001) AS needs_scale,
+       CASE WHEN angle % 360 = 0 THEN 'simple' ELSE 'rotated' END AS merge_mode,
+       CAST(CASE WHEN angle % 360 = 0 THEN 0 ELSE -angle END AS INT) AS rotate_by,
+       CASE WHEN angle % 360 = 0 THEN 0.0
+            WHEN angle = 90 THEN eff_y / 2
+            WHEN angle = 180 THEN eff_x / 2
+            WHEN angle = 270 THEN eff_x / 2 END AS translate_x,
+       CASE WHEN angle % 360 = 0 THEN 0.0
+            WHEN angle = 90 THEN eff_y / 2
+            WHEN angle = 180 THEN eff_y / 2
+            WHEN angle = 270 THEN eff_x / 2 END AS translate_y
+FROM m
+"""
+
 # --- X2: salted repartition preserves rows -----------------------------------
 
 def q_x2_salt_preserve(spark, sf_dir):
@@ -892,6 +1023,8 @@ QUERIES = {
     "r6_every": q_r6_every,
     "h3_regex_extract": q_h3_regex_extract,
     "h6_ligature_normalize": q_h6_ligature,
+    "h7_render_geometry": q_h7_render_geometry,
+    "r4_multibackground_merge": q_r4_multibackground,
     "scalar_px_pt_area": q_scalar_math,
     "x2_salt_preserve": q_x2_salt_preserve,
     "tpch_q1_agg": q_tpch_q1,
@@ -925,6 +1058,8 @@ ORACLES = {
     "r6_every": SQL_R6,
     "h3_regex_extract": SQL_H3,
     "h6_ligature_normalize": SQL_H6,
+    "h7_render_geometry": SQL_H7_RENDER,
+    "r4_multibackground_merge": SQL_R4_MULTIBACKGROUND,
     "scalar_px_pt_area": SQL_SCALAR,
     "x2_salt_preserve": SQL_X2,
     "tpch_q1_agg": SQL_TPCH_Q1,

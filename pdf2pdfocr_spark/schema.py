@@ -84,6 +84,11 @@ WORD_BOX_STRUCT = T.StructType(
         T.StructField("y1", T.IntegerType(), True),
         T.StructField("x2", T.IntegerType(), True),
         T.StructField("y2", T.IntegerType(), True),
+        # H7 render geometry (pdf2pdfocr.py:419-430): fontsize = bbox height
+        # in pt; horizontal scale stretches Helvetica to the bbox width.
+        # h_scale is null for degenerate (0-height) boxes.
+        T.StructField("fontsize_pt", T.DoubleType(), True),
+        T.StructField("h_scale", T.DoubleType(), True),
     ]
 )
 

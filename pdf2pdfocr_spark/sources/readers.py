@@ -78,6 +78,38 @@ def write_spans(df: DataFrame, path: str, buckets: int = 64,
     )
 
 
+def write_geometry(ocr_geometry: DataFrame, path: str, buckets: int = 64,
+                   mode: str = "append") -> None:
+    """H7 geometry sink: per-word render geometry rows for a downstream
+    PDF-synthesis service — one row per word with its bbox (px), page dims
+    (pt) and the invisible-text render params (fontsize_pt + Helvetica
+    horizontal scale, pdf2pdfocr.py:419-430). Input = the
+    run_ocr(keep_geometry=True) frame; words explode here, AFTER the Arrow
+    stage, so the OCR shuffle still moves one nested array per page."""
+    exploded = ocr_geometry.select(
+        "doc_id",
+        "offset",
+        "page_w_pt",
+        "page_h_pt",
+        F.posexplode("word_boxes").alias("word_no", "w"),
+    ).select(
+        "doc_id", "offset", "word_no", "page_w_pt", "page_h_pt",
+        F.col("w.text").alias("text"),
+        F.col("w.x1").alias("x1"), F.col("w.y1").alias("y1"),
+        F.col("w.x2").alias("x2"), F.col("w.y2").alias("y2"),
+        F.col("w.fontsize_pt").alias("fontsize_pt"),
+        F.col("w.h_scale").alias("h_scale"),
+    )
+    (
+        exploded.withColumn(
+            "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+        )
+        .write.mode(mode)
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    )
+
+
 def text_output(processed: DataFrame) -> DataFrame:
     """S6 text sink projection: (doc_id, doc_text) — the concatenated
     per-page text in page order (create_text_output, pdf2pdfocr.py:928-940)."""

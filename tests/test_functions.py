@@ -1,0 +1,143 @@
+"""H7 render geometry + R4 multibackground merge math + O5 progress."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf2pdfocr_spark import corpus
+from pdf2pdfocr_spark.functions.merge import multibackground_merge_plan
+from pdf2pdfocr_spark.functions.render import (
+    char_width_sum,
+    string_width_pt,
+    word_render_geometry,
+)
+from pdf2pdfocr_spark.oracle import PipelineConfig
+from pdf2pdfocr_spark.pipeline import StageProgress, explode_pages, run_ocr
+from pdf2pdfocr_spark.sources.readers import write_geometry
+
+
+# --- H7 kernel vs hand-computed reference values -----------------------------
+
+def test_string_width_helvetica():
+    # reportlab stringWidth('abc', 'Helvetica', 12) = (556+556+500)*12/1000
+    assert string_width_pt("abc", 12.0) == pytest.approx(1612 * 12 / 1000.0)
+    assert string_width_pt("", 12.0) == 0.0
+    # unknown glyph falls back to 556
+    assert string_width_pt("é", 10.0) == pytest.approx(5.56)
+
+
+def test_word_render_geometry_hand_computed():
+    # bbox (100,100,350,150) px at 300 dpi:
+    #   fontsize = 50 px → 12 pt (pdf2pdfocr.py:421 via pt_from_pixel)
+    #   width    = 250 px → 60 pt
+    #   stringWidth('abc', Helvetica, 12) = 19.344 pt
+    #   h_scale  = 100 * 60 / 19.344     (pdf2pdfocr.py:427)
+    fontsize, h_scale = word_render_geometry("abc", 100, 100, 350, 150, 300)
+    assert fontsize == pytest.approx(12.0)
+    assert h_scale == pytest.approx(100 * 60.0 / 19.344)
+    # degenerate box: the reference would divide by zero; we yield None
+    assert word_render_geometry("abc", 0, 0, 0, 0, 300)[1] is None
+
+
+def test_char_width_sum_matches_kernel(spark):
+    words = ["abc", "Hello", "x", "flow", "a'b"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["s"]
+        for r in df.select("word", char_width_sum(F.col("word")).alias("s")).collect()
+    }
+    for w in words:
+        assert got[w] == round(string_width_pt(w, 1000.0))
+
+
+def test_geometry_pipeline_path_and_sink(spark, tmp_path):
+    docs = corpus.synth_documents(6, classes=("image_only",))
+    config = PipelineConfig()
+    pages = explode_pages(
+        corpus.corpus_df(spark, docs).withColumn("skip_reason", F.lit(None)),
+        config,
+    ).filter(~F.col("is_blank"))
+    geo = run_ocr(pages, config, keep_geometry=True)
+    out = str(tmp_path / "geo")
+    write_geometry(geo, out, mode="overwrite")
+    written = spark.read.parquet(out)
+    rows = written.limit(50).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # fontsize = bbox height in pt (28 px @300dpi = 6.72 pt everywhere
+        # in the synthetic corpus)
+        assert r["fontsize_pt"] == pytest.approx(
+            (r["y2"] - r["y1"]) / 300 * 72.0
+        )
+        want_fs, want_hs = word_render_geometry(
+            r["text"], r["x1"], r["y1"], r["x2"], r["y2"], 300
+        )
+        assert r["h_scale"] == pytest.approx(want_hs)
+    assert {"doc_id", "offset", "word_no", "page_w_pt", "page_h_pt"} <= set(
+        written.columns
+    )
+
+
+# --- R4 merge decision table --------------------------------------------------
+
+def test_multibackground_merge_plan(spark):
+    rows = [
+        # (id, img_w, img_h, txt_w, txt_h, angle)
+        (1, 1000, 2000, 1000, 2000, 0),     # identical → no scale, simple
+        (2, 1000, 2000, 1002, 2000, 0),     # 0.2% off in x → scale
+        (3, 1000, 2000, 2000, 1000, 90),    # rotated: swap makes factors 1
+        (4, 1000, 2000, 1000, 2000, 180),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, img_w int, img_h int, txt_w int, txt_h int, angle int"
+    )
+    got = {
+        r["id"]: r
+        for r in multibackground_merge_plan(
+            df, F.col("img_w"), F.col("img_h"), F.col("txt_w"),
+            F.col("txt_h"), F.col("angle"),
+        ).collect()
+    }
+    assert not got[1]["needs_scale"] and got[1]["merge_mode"] == "simple"
+    assert got[1]["rotate_by"] == 0 and got[1]["translate_x"] == 0.0
+    assert got[2]["needs_scale"]  # |1.002-1| > 0.001 tolerance
+    # 90°: x/y swapped before scaling (multibackground.py:56-60) → factors 1
+    assert not got[3]["needs_scale"]
+    assert got[3]["merge_mode"] == "rotated" and got[3]["rotate_by"] == -90
+    # tested translation constants (multibackground.py:76-88); at 90° the
+    # post-swap image_page_y is the original width → y/2 = 500
+    assert got[3]["translate_x"] == got[3]["translate_y"] == 500.0
+    assert (got[4]["translate_x"], got[4]["translate_y"]) == (500.0, 1000.0)
+
+
+# --- O5 accumulator progress ---------------------------------------------------
+
+def test_stage_progress_counts(spark):
+    from pdf2pdfocr_spark.pipeline import extract
+
+    docs = corpus.synth_documents(8, classes=("image_only", "blank_pages"))
+    progress = StageProgress(spark)
+    processed, _ = extract(
+        corpus.corpus_df(spark, docs), PipelineConfig(), progress=progress
+    )
+    processed.count()  # action → accumulators populate
+    snap = progress.snapshot()
+    assert set(snap) == set(StageProgress.STAGES)
+    assert snap["ocr_pages_in"] > 0
+    assert snap["ocr_pages_ok"] == snap["ocr_pages_in"]  # no failures here
+    assert snap["ocr_pages_err"] == 0
+
+
+def test_job_persists_metrics(spark, tmp_path):
+    from pdf2pdfocr_spark import jobs, lineage
+
+    docs = corpus.corpus_df(spark, corpus.synth_documents(6, classes=("mixed",)))
+    out = str(tmp_path / "job")
+    m = jobs.run_extraction_job(spark, docs, out, "run-m1")
+    assert m["progress"]["ocr_pages_in"] > 0
+    metrics = {
+        (r["run_id"], r["stage"]): r["n"]
+        for r in lineage.read_metrics(spark, out).collect()
+    }
+    for stage in StageProgress.STAGES:
+        assert ("run-m1", stage) in metrics
+    assert metrics[("run-m1", "ocr_pages_in")] == m["progress"]["ocr_pages_in"]
