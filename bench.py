@@ -43,7 +43,11 @@ HEADLINE = (
 )
 
 BENCH_DOCS = 20_000      # default-mode flagship corpus (fast per-round run)
-SCALING_DOCS = 80_000    # scaling-mode corpus (sized so the N run ≥ 60 s)
+# scaling-mode corpus: sized so the N run is ≥ 3 min — per-job fixed costs
+# (stage scheduling, worker handshakes) drop under ~2 % of wall at BOTH
+# levels, which is what a long-lived cluster job actually amortizes to, and
+# sandbox CPU noise averages out within a rep
+SCALING_DOCS = 200_000
 HUGE_EVERY = 100
 HUGE_PAGES = 120
 CORPUS_ROOT = "/tmp/spark_graft_bench_corpus"
@@ -163,16 +167,21 @@ def main_corpus_only(args) -> None:
     three reps at 32 cores — so the timed passes report the steady-state
     throughput a long-lived cluster actually sees."""
     spark = build_session(args.cores)
-    run_flagship(spark, args.n_docs)  # warm-up (also prepares the corpus)
+    # two untimed warm-ups: the first also writes the corpus; the second
+    # lets tiered JIT converge on the interpreted HOF evaluators (measured
+    # 122→75→38 s over early reps at 32 cores) and pre-forks the Python
+    # workers, so timed reps see the steady state a long-lived cluster runs
+    run_flagship(spark, args.n_docs)
+    run_flagship(spark, args.n_docs)
     secs = []
     for _ in range(args.reps):
         n_docs, dt = run_flagship(spark, args.n_docs)
         secs.append(round(dt, 3))
-    # steady state = best rep: tiered JIT keeps improving the interpreted
-    # higher-order-function evaluators for several runs (measured
-    # 77→70→45→33 s across reps at 32 cores); a long-lived cluster runs
-    # at the converged rate
-    dt = min(secs)
+    # headline = MEDIAN of the timed reps (round-1 verdict: best-of is not
+    # defensible under sandbox CPU noise)
+    import statistics
+
+    dt = statistics.median(secs)
     print(json.dumps({"cores": args.cores, "docs": n_docs, "sec": dt,
                       "docs_per_sec": round(n_docs / dt, 3), "all_secs": secs}))
     spark.stop()
@@ -181,6 +190,7 @@ def main_corpus_only(args) -> None:
 def main_scaling(args) -> None:
     if args.n_docs == BENCH_DOCS:  # default → use the scaling-sized corpus
         args.n_docs = SCALING_DOCS
+    args.reps = max(args.reps, 5)  # median needs ≥5 reps to be defensible
     results = {}
     for cores in (8, 32):
         cmd = [sys.executable, os.path.abspath(__file__), "--corpus-only",
@@ -208,17 +218,19 @@ def main_scaling(args) -> None:
             f"{args.n_docs}-doc deterministic corpus, power-law page counts, "
             "1% huge docs) at two parallelism levels, per BASELINE.md's "
             "measurement protocol (N = local[8], 4N = local[32]). Runs are "
-            "CPU-pinned via taskset; reported wall is the steady-state "
-            "(best) rep after an untimed warm-up — tiered JIT keeps "
-            "improving interpreted HOF evaluators for several runs.\n\n"
-            "| cores | docs | rep walls (s) | steady wall (s) | docs/sec |\n"
+            "CPU-pinned via taskset; the headline wall is the MEDIAN of "
+            f"{args.reps} timed reps after two untimed warm-ups (JIT "
+            "convergence + Python worker pre-fork). The corpus is sized so "
+            "per-job fixed costs are <2% of wall at both levels.\n\n"
+            "| cores | docs | rep walls (s) | median wall (s) | docs/sec |\n"
             "|---|---|---|---|---|\n"
             f"| 8 (N) | {results[8]['docs']} | {results[8]['all_secs']} "
             f"| {results[8]['sec']} | {tp8} |\n"
             f"| 32 (4N) | {results[32]['docs']} | {results[32]['all_secs']} "
             f"| {results[32]['sec']} | {tp32} |\n\n"
             f"**Scaling efficiency = (throughput_4N / throughput_N) / 4 = {eff}**"
-            f" (target ≥ 0.8)\n"
+            f" (target ≥ 0.8)\n\n"
+            f"Reproduce: `python bench.py --scaling --reps {args.reps}`.\n"
         )
     print(json.dumps({"metric": "scaling_efficiency", "value": eff,
                       "unit": "ratio", "queries": {}, "sf": 0,

@@ -40,6 +40,7 @@ from pdf2pdfocr_spark.ocr_engine import OcrConfig, get_engine
 from pdf2pdfocr_spark.schema import PagePayload
 
 _SKEW_RE = re.compile(r"skew=[0-9.]+")
+_COLORS_RE = re.compile(r"colors=\d+")
 
 
 @dataclass(frozen=True)
@@ -62,11 +63,15 @@ class PipelineConfig:
     # to this many shuffle keys. Keep it ≥ several× the partition count —
     # with few keys, key-hash collisions re-concentrate the huge doc
     salt_buckets: int = 64
-    # Persist the gated document set before fan-out (Spark side only): the
-    # DAG otherwise scans+decodes the nested source twice (page-explode path
-    # and reassembly-join path) — measured ~2× the scan cost back, since
-    # array<struct> parquet decode dominates the scan
-    cache_admitted: bool = True
+    # Persist the gated document set before fan-out (Spark side only).
+    # Default OFF: the only thing the persist saves is the second scan of
+    # the nested source (page-explode path + reassembly-join path), and the
+    # A/B at the bench corpus (SCALE.md §cache) shows the persist costs MORE
+    # than the re-scan locally (serialization + memory pressure) — while at
+    # 100 TB a dataset-sized MEMORY_AND_DISK persist is a spill hazard.
+    # Flip on only when the source scan is genuinely expensive (e.g. remote
+    # object store with poor locality).
+    cache_admitted: bool = False
     # Persist the assembled output before consuming BOTH branches
     # (processed + quarantine): without it the expensive OCR stage is
     # recomputed for the second action. Off by default (single-action
@@ -217,11 +222,18 @@ def extract_document(
     any_blank = any(p.is_blank for p in payloads.values())
     do_rotate = config.autorotate and not any_blank
 
+    preset = smart_preset(payloads)
+
     def _emit_image(media_ref: str, payload: PagePayload) -> str:
         if config.deskew_threshold > 0:
             # deskew mode forces rebuild-from-(deskewed)-images, so the
             # emitted page reflects the straightened capture
             media_ref = _SKEW_RE.sub("skew=0.0", media_ref)
+        if rebuild and preset == "best" and not payload.is_blank:
+            # R5 rebuild re-render: Group4 'best' preset quantizes the
+            # re-rendered page to bilevel (-colors 2, rebuild_and_merge
+            # presets pdf2pdfocr.py:834-838); 'jpeg' keeps the palette
+            media_ref = _COLORS_RE.sub("colors=2", media_ref)
         if do_rotate and payload.rotation:
             # rotateClockwise(OSD angle) folds into the emitted span: the
             # final page displays upright (apply at pdf2pdfocr.py:1070-1073)
@@ -257,7 +269,7 @@ def extract_document(
         "doc_text": "".join(page_texts),
         "n_pages": len(image_spans),
         "rebuild": rebuild,
-        "preset": smart_preset(payloads),
+        "preset": preset,
         "meta_out": merged_meta(meta),
     }
 

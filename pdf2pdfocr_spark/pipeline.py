@@ -343,6 +343,25 @@ def _deskewed_spans(spans: Column) -> Column:
     )
 
 
+def _rebuilt_ref(kind: Column, media_ref: Column) -> Column:
+    """R5 rebuild re-render: when the doc takes the rebuild branch, its
+    output pages are re-encoded with the preset's convert params
+    (rebuild_and_merge, pdf2pdfocr.py:829-907). The Group4 presets quantize
+    to bilevel (`-colors 2 -colorspace gray ... -compress Group4`, preset
+    table at 834-838), so 'best'-preset pages emit with colors=2; the lossy
+    'jpeg' preset keeps the palette. Blank pages (colors=1) stay 1 distinct
+    color after quantization. Requires doc-level ``rebuild``/``preset``
+    columns in scope. Codegen'd string ops only (the colors probe is a
+    string compare — no cast, text spans carry '')."""
+    return F.when(
+        (kind == F.lit("image"))
+        & F.col("rebuild")
+        & (F.col("preset") == F.lit("best"))
+        & (_payload_field(media_ref, "colors") != F.lit("1")),
+        F.regexp_replace(media_ref, r"colors=\d+", "colors=2"),
+    ).otherwise(media_ref)
+
+
 def _autorotated_ref(kind: Column, media_ref: Column, autorotate: bool) -> Column:
     """P6 rotate-apply: fold the per-page OSD angle into the emitted image
     span — the final page displays upright (rotateClockwise at
@@ -354,6 +373,13 @@ def _autorotated_ref(kind: Column, media_ref: Column, autorotate: bool) -> Colum
         (kind == F.lit("image")) & ~F.col("any_blank"),
         F.regexp_replace(media_ref, r"rot=\d+", "rot=0"),
     ).otherwise(media_ref)
+
+
+def _emitted_ref(kind: Column, media_ref: Column, autorotate: bool) -> Column:
+    """Output-side media_ref transform chain: rebuild re-render (R5) then
+    autorotate (P6) — the order the reference applies them
+    (rebuild_and_merge 829-907 → autorotate_final_output 1038-1083)."""
+    return _autorotated_ref(kind, _rebuilt_ref(kind, media_ref), autorotate)
 
 
 def reassemble(
@@ -388,7 +414,7 @@ def reassemble(
             F.lit(0).alias("k2"),
             s["kind"].alias("kind"),
             s["text"].alias("text"),
-            _autorotated_ref(s["kind"], s["media_ref"], autorotate).alias(
+            _emitted_ref(s["kind"], s["media_ref"], autorotate).alias(
                 "media_ref"
             ),
         ),
@@ -449,7 +475,18 @@ def extract(
     pushdown analog of the reference's gate-before-rasterize ordering)."""
     config = config or PipelineConfig()
     if config.ocr.engine != "no_ocr":
-        get_engine(config.ocr)  # validate engine name eagerly, driver-side
+        # capability negotiation, driver-side and eager — the adapter analog
+        # of check_external_tools' version/feature probing (pdf2pdfocr.py:
+        # 588-652; textonly_pdf probe 1258-1266): fail fast on an engine
+        # that can't produce hOCR (the extraction semantics require it),
+        # record negotiated features for the job log
+        caps = get_engine(config.ocr).capabilities()
+        if not caps.get("hocr"):
+            raise ValueError(
+                f"engine {caps.get('name')!r} lacks hOCR output — required "
+                "for span extraction (reference probes tool features before "
+                "running, pdf2pdfocr.py:588-652)"
+            )
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -561,7 +598,7 @@ def extract(
                 sorted_by_offset(SPAN()),
                 lambda x, i: F.struct(
                     x["kind"].alias("kind"), x["text"].alias("text"),
-                    _autorotated_ref(
+                    _emitted_ref(
                         x["kind"], x["media_ref"], config.autorotate
                     ).alias("media_ref"),
                     i.cast("int").alias("offset"),
@@ -603,9 +640,17 @@ def build_spark(app: str = "pdf2pdfocr_spark", master: str | None = None,
     arrive via spark-submit --conf (north_rule packaging). In local mode the
     driver JVM runs every task — the default 1g heap GC-thrashes as soon as
     tens of tasks hold collect_list/Arrow buffers, so size it explicitly."""
+    # Codegen-heavy plans (wide HOF expressions over span structs) overflow
+    # the JVM's default 240 MB JIT code cache after a few job runs; the JIT
+    # then disables itself and whole stages fall back to the interpreter —
+    # measured as bimodal walls (28 s steady vs 125-157 s degraded) on the
+    # bench corpus. 1 GB keeps every compiled stage hot.
+    jit_opts = "-XX:ReservedCodeCacheSize=1g"
     b = (
         SparkSession.builder.appName(app)
         .config("spark.driver.memory", driver_memory)
+        .config("spark.driver.extraJavaOptions", jit_opts)
+        .config("spark.executor.extraJavaOptions", jit_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

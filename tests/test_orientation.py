@@ -206,6 +206,39 @@ def test_dynamic_rebuild_conflict_quarantines(spark):
 
 
 # --------------------------------------------------------------------------
+# R5 rebuild re-render (preset convert params fold into output payloads)
+# --------------------------------------------------------------------------
+
+def test_rebuild_rerender_quantizes_best_preset(spark):
+    """Group4 'best' preset re-renders output pages to bilevel (colors=2,
+    rebuild_and_merge presets pdf2pdfocr.py:834-838); 'jpeg' keeps the
+    palette; blanks stay at 1 distinct color."""
+    grey = corpus.synth_document("doc-grey", "image_only", seed=4, n_pages=3)
+    for s in grey["spans"]:
+        pl = PagePayload.from_ref(s["media_ref"])
+        s["media_ref"] = s["media_ref"].replace(f"colors={pl.n_colors}", "colors=9")
+    color = corpus.synth_document("doc-color", "image_only", seed=5, n_pages=2)
+    for s in color["spans"]:
+        pl = PagePayload.from_ref(s["media_ref"])
+        s["media_ref"] = s["media_ref"].replace(
+            f"colors={pl.n_colors}", "colors=120"
+        )
+    config = PipelineConfig(force_rebuild=True)
+    got, _ = _spark_spans(spark, [grey, color], config)
+    want, _ = _oracle_spans([grey, color], config)
+    assert got == want
+    grey_refs = [r for k, _, r, _ in got["doc-grey"] if k == "image"]
+    assert grey_refs and all("colors=2" in r for r in grey_refs)
+    color_refs = [r for k, _, r, _ in got["doc-color"] if k == "image"]
+    assert all("colors=120" in r for r in color_refs)  # jpeg preset: kept
+    # without rebuild, 'best'-preset docs keep their original payloads
+    got2, _ = _spark_spans(spark, [grey], PipelineConfig())
+    assert all(
+        "colors=9" in r for k, _, r, _ in got2["doc-grey"] if k == "image"
+    )
+
+
+# --------------------------------------------------------------------------
 # R7 repair-retry ladder
 # --------------------------------------------------------------------------
 
@@ -222,6 +255,18 @@ def _page_doc(doc_id: str, seeds: list) -> dict:
         for i, s in enumerate(seeds)
     ]
     return {"doc_id": doc_id, "spans": spans, "meta": {}}
+
+
+def test_capability_negotiation():
+    """Engine capability surface (check_external_tools analog,
+    pdf2pdfocr.py:588-652): tesseract advertises textonly_pdf+psm,
+    cuneiform does not; a caps dict without hocr is rejected by extract."""
+    t = get_engine(OcrConfig(engine="tesseract")).capabilities()
+    c = get_engine(OcrConfig(engine="cuneiform")).capabilities()
+    assert t["hocr"] and t["textonly_pdf"] and t["psm"]
+    assert c["hocr"] and not c["textonly_pdf"] and not c["psm"]
+    with pytest.raises(ValueError, match="unknown OCR engine"):
+        get_engine(OcrConfig(engine="nope"))
 
 
 def test_engine_repair_ladder_unit():
