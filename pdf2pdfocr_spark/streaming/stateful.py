@@ -37,11 +37,15 @@ def _reassemble_fn(
         offsets, texts, expected = [], [], -1
 
     for pdf in batches:
-        for _, row in pdf.iterrows():
-            expected = int(row["n_pages"])
-            if int(row["offset"]) not in offsets:  # idempotent re-delivery
-                offsets.append(int(row["offset"]))
-                texts.append(row["page_text"])
+        # zipped column arrays, not iterrows() (the slowest pandas path)
+        for off, n_pages, text in zip(
+            pdf["offset"].to_numpy(), pdf["n_pages"].to_numpy(),
+            pdf["page_text"].to_numpy(),
+        ):
+            expected = int(n_pages)
+            if int(off) not in offsets:  # idempotent re-delivery
+                offsets.append(int(off))
+                texts.append(text)
 
     if expected >= 0 and len(offsets) >= expected:
         ordered = [t for _, t in sorted(zip(offsets, texts))]
