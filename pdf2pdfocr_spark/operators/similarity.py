@@ -192,23 +192,36 @@ def knn_join(
 ) -> DataFrame:
     """Top-k neighbours for every vector over multi-band LSH candidates
     (see knn_candidates). Output: (vec_id, neighbour_id, score)."""
+    # norms hoisted per vector: computing cosine_sim per pair re-evaluates
+    # norm(a) and norm(b) for every candidate (each as costly as the dot
+    # itself — 3× the HOF work). Same arithmetic (dot / (norm_a · norm_b)),
+    # identical doubles, so the DuckDB oracle needs no change.
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("nrm", _norm(F.col("v")))
     cand = knn_candidates(embeddings, planes, bands, bucket_cap, id_col, vec_col)
     pairs = (
-        cand.join(vecs.withColumnRenamed("v", "v_a"), "vec_id")
+        cand.join(
+            vecs.select("vec_id", F.col("v").alias("v_a"),
+                        F.col("nrm").alias("nrm_a")),
+            "vec_id",
+        )
         .join(
             vecs.select(
-                F.col("vec_id").alias("neighbour_id"), F.col("v").alias("v_b")
+                F.col("vec_id").alias("neighbour_id"),
+                F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"),
             ),
             "neighbour_id",
         )
         .select(
             "vec_id",
             "neighbour_id",
-            F.round(cosine_sim(F.col("v_a"), F.col("v_b")), round_to).alias("score"),
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                round_to,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbour_id"))
