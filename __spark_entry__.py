@@ -62,6 +62,19 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: scan only the nprobe coarse
+    cells nearest the query (inverted-file scale path; DuckDB oracle derives
+    the probe set from the same centroid literals)."""
+    from pdf2pdfocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-row query-parameter lookup (not a data-path collect)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    cents = similarity.ivf_centroids(dim=len(qvec), n_cells=8, seed=7)
+    return similarity.ivf_topk(emb, qvec, cents, nprobe=3, k=10)
+
+
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed top-k neighbours for every vector (spark-only)."""
     from pdf2pdfocr_spark.operators import similarity
@@ -100,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = dict(QUERIES)
     out["flagship_extract_spans"] = _flagship
+    out["sim_ivf_topk"] = _ivf_ann
     out["sim_lsh_ann_topk"] = _lsh_ann
     out["sim_knn_join"] = _knn_join
     out["sim_embedding_near_dups"] = _emb_near_dups

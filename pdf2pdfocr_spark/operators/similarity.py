@@ -125,6 +125,65 @@ def lsh_ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list:
+    """Deterministic coarse-quantizer centroids (seeded random directions —
+    an IVF with a data-independent quantizer; swap in k-means centroids on a
+    real deploy, the operator shape is identical)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)]
+
+
+def _cell_dots(vec_col: Column, centroids: list) -> Column:
+    return F.array(*[_dot(vec_col, _vec_lit(c)) for c in centroids])
+
+
+def with_ivf_cell(
+    embeddings: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-dot coarse cell (first index wins
+    ties). At scale, write the table partitioned by ``ivf_cell`` so probes
+    prune partitions — the IVF inverted-list analog."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = _cell_dots(v, centroids)
+    return embeddings.withColumn(
+        "ivf_cell",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    )
+
+
+def ivf_probe_cells(query_vec: list, centroids: list, nprobe: int) -> list:
+    """The ``nprobe`` cells nearest the query by dot product (driver-side —
+    a handful of floats; ties break by cell index)."""
+    scored = sorted(
+        (
+            (-sum(float(a) * float(b) for a, b in zip(query_vec, c)), i)
+            for i, c in enumerate(centroids)
+        )
+    )
+    return sorted(i for _, i in scored[:nprobe])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list,
+    centroids: list,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` coarse cells nearest
+    the query, then exact cosine top-k inside them — the inverted-file scale
+    path beside the LSH one (lsh_ann_topk)."""
+    cells = ivf_probe_cells(query_vec, centroids, nprobe)
+    cand = with_ivf_cell(embeddings, centroids, vec_col).filter(
+        F.col("ivf_cell").isin(*cells)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def knn_candidates(
     embeddings: DataFrame,
     planes: list,

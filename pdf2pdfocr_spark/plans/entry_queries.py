@@ -752,6 +752,44 @@ ORDER BY score DESC, vec_id
 LIMIT 10
 """
 
+_IVF_CENTROIDS = similarity.ivf_centroids(EMB_DIM, 8, seed=7)
+_IVF_NPROBE = 3
+
+# IVF oracle: cell = argmax-dot centroid (first index wins ties); the probe
+# set is derived IN SQL from the query row's own dots list — rank of the
+# row's cell among the query's cell-dots must be < nprobe (ties by index),
+# which mirrors similarity.ivf_probe_cells exactly.
+_IVF_DOTS = (
+    "["
+    + ", ".join(
+        f"list_dot_product(v, {_duck_vec(c)})" for c in _IVF_CENTROIDS
+    )
+    + "]"
+)
+
+SQL_IVF_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+a AS (
+  SELECT vec_id, v, {_IVF_DOTS} AS dots,
+         CAST(list_position({_IVF_DOTS}, list_max({_IVF_DOTS})) - 1 AS INT)
+           AS cell
+  FROM b
+),
+q AS (SELECT v AS qv, dots AS qdots FROM a WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS score
+FROM a, q
+WHERE len(list_filter(range(len(qdots)),
+          i -> qdots[i+1] > qdots[cell+1]
+               OR (qdots[i+1] = qdots[cell+1] AND i < cell))) < {_IVF_NPROBE}
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
 # multi-band candidate generation mirroring similarity.knn_candidates:
 # bands=2, r=3 planes each, per-(band,bucket) cap 1000 by vec_id rank
 _DUCK_KNN_SCORED = f"""
@@ -824,6 +862,7 @@ FROM read_parquet('/root/repo/golden/multimodal_features.parquet')
 """
 
 EXTRA_ORACLES = {
+    "sim_ivf_topk": SQL_IVF_TOPK,
     "sim_lsh_ann_topk": SQL_LSH_ANN_TOPK,
     "sim_knn_join": SQL_KNN_JOIN,
     "sim_embedding_near_dups": SQL_EMB_NEAR_DUPS,

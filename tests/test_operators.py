@@ -90,6 +90,24 @@ def test_lsh_ann_contains_true_neighbour(spark):
     assert 0 in ids and 999 in ids
 
 
+def test_ivf_topk_finds_true_neighbour(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    rows.append((999, [v * 1.02 for v in rows[0][1]]))  # near-copy of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(16, 8, seed=7)
+    got = similarity.ivf_topk(emb, rows[0][1], cents, nprobe=2, k=5).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] in (0, 999) and {0, 999} <= set(ids)
+    # the probe actually prunes: candidate set is a strict subset
+    assigned = similarity.with_ivf_cell(emb, cents)
+    cells = similarity.ivf_probe_cells(rows[0][1], cents, nprobe=2)
+    n_cand = assigned.filter(F.col("ivf_cell").isin(cells)).count()
+    assert 0 < n_cand < len(rows)
+
+
 def test_knn_join_and_near_dups(spark):
     rows = [
         (1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0]), (4, [0.01, 0.99]),
