@@ -78,6 +78,31 @@ def write_spans(df: DataFrame, path: str, buckets: int = 64,
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 64,
+    key: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """S5 variant: Spark-bucketed + sorted table (the sandbox analog of an
+    Iceberg `bucket(N, doc_id)`-partitioned table with sorted files).
+    Two tables bucketed with the SAME (key, N) join with ZERO exchanges —
+    the scan feeds SortMergeJoin directly (proven in
+    tests/test_sources.py::test_bucketed_join_has_no_exchange) — which is
+    how the resume anti-join and doc-level enrichment joins avoid shuffling
+    the 100 TB side."""
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode(mode)
+        .saveAsTable(table)
+    )
+
+
 def write_geometry(ocr_geometry: DataFrame, path: str, buckets: int = 64,
                    mode: str = "append") -> None:
     """H7 geometry sink: per-word render geometry rows for a downstream

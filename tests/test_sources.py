@@ -70,3 +70,52 @@ def test_write_read_spans_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["spans"] for r in back.collect()}
     b = {r["doc_id"]: r["spans"] for r in processed.collect()}
     assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same (key, N) must join WITHOUT a shuffle:
+    the bucketed scans feed SortMergeJoin directly (the co-located-join
+    scale path for resume anti-joins / doc enrichment at 100 TB)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from pdf2pdfocr_spark.sources.readers import write_bucketed_table
+
+    docs = spark.range(0, 2000).select(
+        F.format_string("doc-%09d", F.col("id")).alias("doc_id"),
+        (F.col("id") % 7).alias("x"),
+    )
+    done = spark.range(0, 500).select(
+        F.format_string("doc-%09d", F.col("id") * 3).alias("doc_id"),
+        F.lit(True).alias("done"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither side broadcasts — force the SMJ path the test is
+        # actually about
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(docs, "bk_docs", str(tmp_path / "bk_docs"), buckets=8)
+        write_bucketed_table(done, "bk_done", str(tmp_path / "bk_done"), buckets=8)
+        joined = spark.table("bk_docs").join(spark.table("bk_done"), "doc_id")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        assert joined.count() == 500
+        # and the anti-join (resume primitive) is shuffle-free too
+        anti = spark.table("bk_docs").join(
+            spark.table("bk_done"), "doc_id", "left_anti"
+        )
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            anti.explain("formatted")
+        assert "Exchange" not in buf2.getvalue()
+        assert anti.count() == 1500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_docs")
+        spark.sql("DROP TABLE IF EXISTS bk_done")
