@@ -71,6 +71,7 @@ def _parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("-c", "--engine", default="tesseract")
     p.add_argument("-l", "--lang", default="eng")
     p.add_argument("-d", "--deskew", type=float, default=0.0)
+    p.add_argument("-g", "--convert-params", default="smart")
     p.add_argument("--autorotate", action="store_true")
     p.add_argument("-f", "--force-rebuild", action="store_true")
     p.add_argument("--ignore-existing-text", action="store_true")
@@ -88,6 +89,7 @@ def main(argv=None) -> None:
         avoid_encrypted=args.avoid_encrypted,
         ignore_existing_text=args.ignore_existing_text,
         deskew_threshold=args.deskew,
+        convert_params=args.convert_params,
         autorotate=args.autorotate,
         force_rebuild=args.force_rebuild,
         salt_buckets=args.salt_buckets,

@@ -56,6 +56,11 @@ class PipelineConfig:
     ignore_existing_text: bool = False  # --ignore-existing-text
     deskew_threshold: float = 0.0    # -d (>0 = use_deskew_mode: deskew pages
     #                                  before OCR AND force rebuild, 762-764)
+    convert_params: str = "smart"    # -g rebuild convert preset
+    #   (rebuild_and_merge, pdf2pdfocr.py:834-868): 'smart' picks
+    #   best-vs-jpeg from the corpus greyscale scan (842-856); explicit
+    #   fast|best|grayscale|jpeg|jpeg2000 select a preset; any other string
+    #   is passed through as custom ImageMagick params
     autorotate: bool = False         # --autorotate (use_autorotate, 526):
     #                                  rotate final pages upright per OSD
     force_rebuild: bool = False      # -f
@@ -125,6 +130,23 @@ def smart_preset(payloads: dict) -> str:
         if all(p.n_colors <= GREYSCALE_MAX_COLORS for p in payloads.values())
         else "jpeg"
     )
+
+
+# Group4-compressed presets quantize the re-rendered page to bilevel
+# (-threshold/-colors 2 ... -compress Group4, preset table
+# pdf2pdfocr.py:834-838); JPEG-family presets keep the palette.
+GROUP4_PRESETS = frozenset({"fast", "best", "grayscale"})
+
+
+def resolve_preset(convert_params: str, payloads: dict) -> str:
+    """-g resolution (rebuild_and_merge, pdf2pdfocr.py:842-872): 'smart'
+    scans the corpus colors; '' defaults to 'best' (line 871-872); anything
+    else (named preset or custom ImageMagick params) passes through."""
+    if convert_params == "smart":
+        return smart_preset(payloads)
+    if convert_params == "":
+        return "best"
+    return convert_params
 
 
 def _span(kind: str, text: str, media_ref: str, offset: int) -> dict:
@@ -222,17 +244,18 @@ def extract_document(
     any_blank = any(p.is_blank for p in payloads.values())
     do_rotate = config.autorotate and not any_blank
 
-    preset = smart_preset(payloads)
+    preset = resolve_preset(config.convert_params, payloads)
 
     def _emit_image(media_ref: str, payload: PagePayload) -> str:
         if config.deskew_threshold > 0:
             # deskew mode forces rebuild-from-(deskewed)-images, so the
             # emitted page reflects the straightened capture
             media_ref = _SKEW_RE.sub("skew=0.0", media_ref)
-        if rebuild and preset == "best" and not payload.is_blank:
-            # R5 rebuild re-render: Group4 'best' preset quantizes the
-            # re-rendered page to bilevel (-colors 2, rebuild_and_merge
-            # presets pdf2pdfocr.py:834-838); 'jpeg' keeps the palette
+        if rebuild and preset in GROUP4_PRESETS and not payload.is_blank:
+            # R5 rebuild re-render: Group4-family presets quantize the
+            # re-rendered page to bilevel (-colors 2 / -threshold ... Group4,
+            # rebuild_and_merge presets pdf2pdfocr.py:834-838); JPEG-family
+            # presets keep the palette
             media_ref = _COLORS_RE.sub("colors=2", media_ref)
         if do_rotate and payload.rotation:
             # rotateClockwise(OSD angle) folds into the emitted span: the

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf2pdfocr_spark.ocr_engine import get_engine
-from pdf2pdfocr_spark.oracle import PipelineConfig
+from pdf2pdfocr_spark.oracle import GROUP4_PRESETS, PipelineConfig
 from pdf2pdfocr_spark.schema import OCR_PAGE_RESULT_SCHEMA, PagePayload
 
 # JVM-side validity check for media payloads (same shape schema.MEDIA_REF_RE
@@ -356,7 +356,7 @@ def _rebuilt_ref(kind: Column, media_ref: Column) -> Column:
     return F.when(
         (kind == F.lit("image"))
         & F.col("rebuild")
-        & (F.col("preset") == F.lit("best"))
+        & F.col("preset").isin(*sorted(GROUP4_PRESETS))
         & (_payload_field(media_ref, "colors") != F.lit("1")),
         F.regexp_replace(media_ref, r"colors=\d+", "colors=2"),
     ).otherwise(media_ref)
@@ -539,18 +539,22 @@ def extract(
         ),
     )
 
-    # R6 smart preset: ALL pages greyscale → 'best' else 'jpeg'
-    # (pdf2pdfocr.py:842-856) — an F.forall aggregate, no explode needed
+    # R6 preset resolution (-g, rebuild_and_merge pdf2pdfocr.py:842-872):
+    # 'smart' = ALL pages greyscale → 'best' else 'jpeg' (an F.forall
+    # aggregate, no explode needed); '' defaults to 'best'; named presets /
+    # custom ImageMagick params pass through as constants
     from pdf2pdfocr_spark.oracle import GREYSCALE_MAX_COLORS, PRODUCER_SIGNATURE
 
-    all_grey = F.forall(
-        F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")),
-        lambda s: _payload_field(s["media_ref"], "colors").cast("int")
-        <= F.lit(GREYSCALE_MAX_COLORS),
-    )
-    admitted = admitted.withColumn(
-        "preset", F.when(all_grey, F.lit("best")).otherwise(F.lit("jpeg"))
-    )
+    if config.convert_params == "smart":
+        all_grey = F.forall(
+            F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")),
+            lambda s: _payload_field(s["media_ref"], "colors").cast("int")
+            <= F.lit(GREYSCALE_MAX_COLORS),
+        )
+        preset_col = F.when(all_grey, F.lit("best")).otherwise(F.lit("jpeg"))
+    else:
+        preset_col = F.lit(config.convert_params or "best")
+    admitted = admitted.withColumn("preset", preset_col)
 
     # R8 producer metadata merge (edit_producer, pdf2pdfocr.py:1333-1374):
     # scrub values to printable ASCII, append our signature to /producer

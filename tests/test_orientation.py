@@ -238,6 +238,29 @@ def test_rebuild_rerender_quantizes_best_preset(spark):
     )
 
 
+def test_explicit_convert_params_presets(spark):
+    """-g presets (rebuild_and_merge, pdf2pdfocr.py:834-872): an explicit
+    Group4 preset quantizes EVERY rebuilt doc regardless of its colors; a
+    JPEG-family preset never does; '' defaults to 'best'."""
+    color = corpus.synth_document("doc-c", "image_only", seed=6, n_pages=2)
+    for s in color["spans"]:
+        pl = PagePayload.from_ref(s["media_ref"])
+        s["media_ref"] = s["media_ref"].replace(
+            f"colors={pl.n_colors}", "colors=150"
+        )
+
+    for params, want_colors in [
+        ("grayscale", "colors=2"), ("fast", "colors=2"), ("", "colors=2"),
+        ("jpeg2000", "colors=150"), ("-custom -flags", "colors=150"),
+    ]:
+        config = PipelineConfig(force_rebuild=True, convert_params=params)
+        got, _ = _spark_spans(spark, [color], config)
+        want, _ = _oracle_spans([color], config)
+        assert got == want, params
+        refs = [r for k, _, r, _ in got["doc-c"] if k == "image"]
+        assert all(want_colors in r for r in refs), (params, refs)
+
+
 # --------------------------------------------------------------------------
 # R7 repair-retry ladder
 # --------------------------------------------------------------------------
