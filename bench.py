@@ -38,6 +38,7 @@ HEADLINE = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "sim_knn_join",
     "h7_render_geometry",
     "text_quality",
