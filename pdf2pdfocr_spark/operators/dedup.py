@@ -8,10 +8,15 @@ values bit-for-bit; Spark-only variants use xxhash64 (faster, codegen'd).
 Scale notes (100 TB):
 * exact dedup: one shuffle on a 16-byte digest — the minimum possible.
 * MinHash LSH: docs → K minhashes → B bands; candidate generation is a
-  self-join on (band_id, band_hash) buckets, so cost is bounded by bucket
-  population, never |docs|² . Band hashing is `hash()` over a minhash slice.
+  self-join on (band_id, band_hash) buckets with a per-bucket population
+  cap, so cost is bounded by O(B · cap²), never |docs|². Band hashing is
+  `hash()` over a minhash slice.
 * SimHash: token-hash bit-vote via explode + groupBy(doc, bit) — two
-  shuffles, both partial-aggregated map-side.
+  shuffles, both partial-aggregated map-side; the pigeonhole chunk join is
+  capped the same way (chunks are 8-10 bits — degenerate buckets are likely
+  even on benign corpora).
+* Caps are never silent: every capped join has a ``*_overflow`` twin
+  listing the truncated buckets (population, truncated count).
 """
 
 from __future__ import annotations
@@ -34,6 +39,38 @@ def _tokens(col):
 def normalize_text(col):
     """Canonical form for fuzzy dedup: lowercase, collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# --------------------------------------------------------------------------
+# bucket caps (shared by the MinHash-band and SimHash-chunk self-joins)
+# --------------------------------------------------------------------------
+
+def _cap_buckets(rows: DataFrame, keys: list, cap: int,
+                 order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` members per bucket (deterministic ``order_col``
+    rank) — the same guard knn_candidates uses (similarity.py): a degenerate
+    bucket holding half the corpus contributes O(cap²) self-join rows, never
+    O(n²). Truncation is NOT silent: pair it with ``bucket_overflow`` to
+    surface which buckets were cut (no-silent-caps convention)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        rows.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def bucket_overflow(rows: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Overflow ledger: one row per bucket whose population exceeds ``cap``
+    — (keys..., population, truncated). Runs off the same pre-cap frame the
+    candidate join caps, so a dup-heavy corpus's cut buckets are visible to
+    the job log / lineage instead of silently under-reporting pairs."""
+    return (
+        rows.groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("population"))
+        .filter(F.col("population") > cap)
+        .withColumn("truncated", (F.col("population") - cap).cast("long"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -194,24 +231,27 @@ def with_minhash(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     return sh.select("doc_id", *cols)
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     docs: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
-    threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs, verified by exact shingle Jaccard.
-
-    band signature = concat of r = K/B minhashes; candidates = docs sharing
-    any band bucket (groupBy band, never doc×doc); verification joins back
-    to shingle sets. Output: (id_a, id_b, jaccard ≥ threshold).
-    """
+    """(doc_id, band, sig) LSH band-bucket rows: band signature = concat of
+    r = K/B consecutive minhashes. Exposed so the overflow ledger and the
+    candidate join run off the same frame. K must divide evenly into B —
+    a silent remainder would drop minhashes from the last band's signature
+    (lower precision) with no warning."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands} "
+            "(a remainder would silently drop minhashes from the banding)"
+        )
     r = num_hashes // bands
     mh = with_minhash(docs, num_hashes, n, id_col, text_col)
-    band_rows = mh.select(
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -227,9 +267,37 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified by exact shingle Jaccard.
+
+    band signature = concat of r = K/B minhashes; candidates = docs sharing
+    any band bucket (groupBy band, never doc×doc), with each (band, sig)
+    bucket capped at ``bucket_cap`` members (deterministic doc_id rank) —
+    round-2 verdict: a dup-heavy corpus (the workload dedup exists for!)
+    puts k near-identical docs in the same bucket in EVERY band → k² join
+    rows without the cap. A capped bucket surfaces O(cap²) of its pairs
+    (connected-component dedup downstream still collapses the cluster via
+    transitive pairs); use ``minhash_band_overflow`` to see what was cut.
+    Verification joins back to shingle sets — the cap changes which pairs
+    are surfaced, never their exact Jaccard scores.
+    Output: (id_a, id_b, jaccard ≥ threshold).
+    """
+    band_rows = minhash_band_rows(docs, num_hashes, bands, n, id_col, text_col)
+    capped = _cap_buckets(band_rows, ["band", "sig"], bucket_cap)
     cand = (
-        band_rows.alias("a")
-        .join(band_rows.alias("b"), ["band", "sig"])
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "sig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -254,6 +322,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def minhash_band_overflow(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Which (band, sig) buckets exceeded ``bucket_cap`` (and by how much)
+    for the corresponding minhash_lsh_pairs call — the visibility half of
+    the no-silent-caps convention."""
+    band_rows = minhash_band_rows(docs, num_hashes, bands, n, id_col, text_col)
+    return bucket_overflow(band_rows, ["band", "sig"], bucket_cap)
 
 
 # --------------------------------------------------------------------------
@@ -284,15 +368,15 @@ def with_simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
-    generated by banding the fingerprint into (max_hamming+1) chunks — by
-    pigeonhole, any pair within distance d shares ≥1 identical chunk."""
+def simhash_chunk_rows(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash, chunk, val) pigeonhole rows: the fingerprint split
+    into (max_hamming+1) bit chunks. Exposed so the overflow ledger and the
+    candidate join run off the same frame."""
     fp = with_simhash(docs, bits, id_col, text_col)
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    chunks = fp.select(
+    return fp.select(
         "doc_id", "simhash",
         F.explode(
             F.array(
@@ -308,9 +392,26 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.val")
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bucket_cap: int = 1000) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
+    generated by banding the fingerprint into (max_hamming+1) chunks — by
+    pigeonhole, any pair within distance d shares ≥1 identical chunk.
+
+    Each (chunk, val) bucket is capped at ``bucket_cap`` members
+    (deterministic doc_id rank) — round-2 verdict: the chunks are SMALL
+    (bits/(d+1), 8 bits at the defaults), so degenerate buckets are likely
+    even on benign corpora, and identical docs share ALL chunks → k² join
+    rows without the cap. ``simhash_chunk_overflow`` surfaces cut buckets;
+    the exact Hamming verification below the cap is untouched."""
+    chunks = simhash_chunk_rows(docs, bits, max_hamming, id_col, text_col)
+    capped = _cap_buckets(chunks, ["chunk", "val"], bucket_cap)
     cand = (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk", "val"])
+        capped.alias("a")
+        .join(capped.alias("b"), ["chunk", "val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("a.simhash").alias("h_a"),
@@ -322,4 +423,16 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def simhash_chunk_overflow(docs: DataFrame, bits: int = 32,
+                           max_hamming: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           bucket_cap: int = 1000) -> DataFrame:
+    """Which (chunk, val) buckets exceeded ``bucket_cap`` for the
+    corresponding simhash_near_dups call."""
+    chunks = simhash_chunk_rows(docs, bits, max_hamming, id_col, text_col)
+    return bucket_overflow(
+        chunks.select("doc_id", "chunk", "val"), ["chunk", "val"], bucket_cap
     )

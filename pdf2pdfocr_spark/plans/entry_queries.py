@@ -652,6 +652,62 @@ SQL_MINHASH_SIG = (
     + " FROM sh"
 )
 
+# --- dedup: MinHash-LSH capped candidate pairs (end-to-end) -------------------
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """The FULL MinHash-LSH dedup path — band bucketing, the per-(band,sig)
+    population cap (round-2 verdict: the uncapped band join was the first
+    OOM on a dup-heavy corpus), and exact shingle-Jaccard verification —
+    mirrored bucket-for-bucket in the DuckDB oracle (same row_number cap,
+    same doc_id rank order)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, n=2, threshold=0.08, text_col="text",
+        bucket_cap=10,
+    )
+
+
+def _duck_band(b: int) -> str:
+    return (
+        f"SELECT doc_id, {b} AS band, "
+        f"concat_ws('-', CAST(mh_{2 * b} AS VARCHAR), "
+        f"CAST(mh_{2 * b + 1} AS VARCHAR)) AS sig FROM mh"
+    )
+
+
+SQL_MINHASH_PAIRS = (
+    "WITH "
+    + _duck_shingles(150, 2)
+    + ", mh AS (SELECT doc_id, "
+    + ", ".join(_duck_mh(i) for i in range(8))
+    + " FROM sh), "
+    + "bands AS ("
+    + " UNION ALL ".join(_duck_band(b) for b in range(4))
+    + """),
+capped AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rk
+    FROM bands
+  ) WHERE rk <= 10
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b USING (band, sig) WHERE a.doc_id < b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.08
+"""
+)
+
 # --- dedup: SimHash fingerprints ------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
@@ -680,6 +736,46 @@ SELECT doc_id,
          AS simhash
 FROM votes GROUP BY doc_id
 """
+
+# --- dedup: SimHash capped near-dup pairs (end-to-end) -------------------------
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """The FULL SimHash near-dup path — pigeonhole chunk bucketing, the
+    per-(chunk,val) population cap (round-2 verdict: 8-10 bit chunks make
+    degenerate buckets LIKELY, not adversarial), and exact Hamming
+    verification — mirrored bucket-for-bucket in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(
+        docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
+    )
+
+
+# max_hamming=2 → 3 chunks of 32//3 = 10 bits; the fp CTE is the SQL_SIMHASH
+# body verbatim. xor/bit_count and >>/& behave identically on BIGINT in both
+# engines for these non-negative 32-bit values.
+SQL_SIMHASH_PAIRS = (
+    "WITH fp AS (" + SQL_SIMHASH + """),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * 10)) & 1023 AS val
+  FROM fp, (SELECT unnest([0, 1, 2]) AS chunk) c
+),
+capped AS (
+  SELECT doc_id, simhash, chunk, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk, val ORDER BY doc_id) AS rk
+    FROM chunks
+  ) WHERE rk <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS h_a,
+                  b.doc_id AS id_b, b.simhash AS h_b
+  FROM capped a JOIN capped b USING (chunk, val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 2
+"""
+)
 
 # --- similarity: brute-force cosine top-k ---------------------------------------
 
@@ -1077,7 +1173,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_cosine_topk": q_sim_cosine_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -1112,7 +1210,9 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_sig": SQL_MINHASH_SIG,
+    "dedup_minhash_pairs": SQL_MINHASH_PAIRS,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "text_langid": SQL_LANGID,
     "text_quality": SQL_QUALITY,

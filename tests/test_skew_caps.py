@@ -40,6 +40,73 @@ def test_ngram_df_cutoff_kills_hot_shingle_quadratic(spark):
     assert pairs == {(0, 100): 0.6}
 
 
+def _dup_heavy_docs(spark, n):
+    # k IDENTICAL docs: every band/chunk puts them in ONE bucket —
+    # exactly the workload dedup exists for (round-2 verdict scale-killer)
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    n, cap, bands = 40, 6, 4
+    docs = _dup_heavy_docs(spark, n)
+
+    uncapped = dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=bands, n=3, threshold=0.0,
+        bucket_cap=10_000,
+    ).count()
+    capped_pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=bands, n=3, threshold=0.0, bucket_cap=cap
+    )
+    capped = capped_pairs.count()
+    # near-identical docs collide in every band → full quadratic uncapped
+    assert uncapped == n * (n - 1) // 2
+    # capped: ≤ bands · C(cap,2) distinct pairs, and still non-empty
+    assert 0 < capped <= bands * cap * (cap - 1) // 2
+
+    # surviving pairs keep their EXACT full-set Jaccard (cap affects which
+    # pairs surface, never scores): identical docs → J=1.0
+    for r in capped_pairs.collect():
+        assert r["jaccard"] == 1.0
+
+    # the truncation is visible, not silent
+    overflow = dedup.minhash_band_overflow(
+        docs, num_hashes=8, bands=bands, n=3, bucket_cap=cap
+    ).collect()
+    assert overflow and all(r["population"] > cap for r in overflow)
+    assert sum(r["truncated"] for r in overflow) > 0
+
+
+def test_minhash_rejects_ragged_banding(spark):
+    docs = _dup_heavy_docs(spark, 4)
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=7, bands=2)
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    n, cap = 40, 6
+    docs = _dup_heavy_docs(spark, n)
+    n_chunks = 4  # max_hamming=3
+
+    uncapped = dedup.simhash_near_dups(
+        docs, bits=32, max_hamming=3, bucket_cap=10_000
+    ).count()
+    capped_df = dedup.simhash_near_dups(
+        docs, bits=32, max_hamming=3, bucket_cap=cap
+    )
+    capped = capped_df.count()
+    assert uncapped == n * (n - 1) // 2  # identical fingerprints, quadratic
+    assert 0 < capped <= n_chunks * cap * (cap - 1) // 2
+
+    overflow = dedup.simhash_chunk_overflow(
+        docs, bits=32, max_hamming=3, bucket_cap=cap
+    ).collect()
+    assert overflow and all(r["population"] > cap for r in overflow)
+
+
 def test_knn_bucket_cap_bounds_candidates(spark):
     n, cap, bands = 60, 10, 2
     rng = random.Random(3)
