@@ -44,6 +44,11 @@ def run_extraction_job(
     processed, quarantine = extract(remaining, config, progress=progress)
     lineage.write_checkpointed(processed, quarantine, out_path, run_id)
     lineage.write_metrics(spark, out_path, run_id, progress.snapshot())
+    # release the assembled-frame cache: a long-lived session running many
+    # extraction jobs must not accumulate dataset-sized persisted frames
+    cached = getattr(processed, "_persisted_parent", None)
+    if cached is not None:
+        cached.unpersist()
     lin = lineage.read_lineage(spark, out_path).filter(f"run_id = '{run_id}'")
     from pyspark.sql import functions as F
 

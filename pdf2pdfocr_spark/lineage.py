@@ -37,6 +37,21 @@ def with_bucket(df: DataFrame, buckets: int = 64) -> DataFrame:
     )
 
 
+def lineage_summary(out: DataFrame) -> DataFrame:
+    """Per-(run_id, doc_bucket) lineage rows aggregated from the IN-FLIGHT
+    output frame — NOT from a re-scan of the written table. Round-2 verdict:
+    re-reading ``out_path/spans`` to filter one run_id lists and scans ALL
+    historical buckets, so lineage cost grew O(total corpus) per run,
+    forever; aggregating the frame that was just written is O(this run)."""
+    return out.groupBy("run_id", "doc_bucket").agg(
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("spans")).alias("n_spans"),
+        F.lit("committed").alias("status"),
+    )
+
+
 def write_checkpointed(
     processed: DataFrame,
     quarantine: DataFrame,
@@ -46,28 +61,19 @@ def write_checkpointed(
 ) -> None:
     """Append the processed output + quarantine ledger + lineage summary.
 
-    One pass over ``processed`` feeds both the output and (via a cheap
-    re-aggregation of the written files) the lineage rows, so lineage always
-    reflects what actually landed."""
+    Lineage is aggregated from the same in-flight frame the span write
+    consumed (``lineage_summary``) — cost bounded by THIS run's size, never
+    the accumulated table. The job path persists the assembled frame
+    (jobs.run_extraction_job sets cache_assembled), so the extra action is
+    one cheap cache scan; an uncached caller pays one recompute of its own
+    run, still never a scan of historical output."""
     out = with_bucket(processed, buckets).withColumn("run_id", F.lit(run_id))
     out.write.mode("append").partitionBy("doc_bucket").parquet(f"{out_path}/spans")
 
     q = quarantine.withColumn("run_id", F.lit(run_id))
     q.write.mode("append").parquet(f"{out_path}/quarantine")
 
-    written = processed.sparkSession.read.parquet(f"{out_path}/spans")
-    lineage = (
-        written.filter(F.col("run_id") == run_id)
-        .groupBy("run_id", "doc_bucket")
-        .agg(
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("spans")).alias("n_spans"),
-            F.lit("committed").alias("status"),
-        )
-    )
-    lineage.write.mode("append").parquet(f"{out_path}/lineage")
+    lineage_summary(out).write.mode("append").parquet(f"{out_path}/lineage")
 
 
 def done_doc_ids(spark: SparkSession, out_path: str) -> DataFrame | None:
@@ -92,12 +98,26 @@ def write_metrics(
     spark: SparkSession, out_path: str, run_id: str, counts: dict
 ) -> None:
     """O5 per-stage metrics ledger: the accumulator snapshot (one row per
-    stage counter) appended next to the lineage table — the durable form of
-    the reference's marker-file progress (pdf2pdfocr.py:985-991)."""
+    stage counter) written next to the lineage table — the durable form of
+    the reference's marker-file progress (pdf2pdfocr.py:985-991).
+
+    Partitioned by run_id with DYNAMIC partition overwrite: re-running a job
+    with the same run_id (the documented resume flow) replaces that run's
+    rows instead of double-appending them, so per-(run_id, stage) sums on
+    read stay correct. Caveat (documented): accumulator counts are
+    AT-LEAST-ONCE — a retried or speculatively re-executed task re-adds its
+    batch, so these are progress/ops numbers; exact per-run doc/span counts
+    come from the lineage table, which is derived from the committed output
+    frame."""
     rows = [(run_id, stage, int(v)) for stage, v in sorted(counts.items())]
-    spark.createDataFrame(rows, "run_id string, stage string, n long").coalesce(
-        1
-    ).write.mode("append").parquet(f"{out_path}/metrics")
+    (
+        spark.createDataFrame(rows, "run_id string, stage string, n long")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id")
+        .parquet(f"{out_path}/metrics")
+    )
 
 
 def read_metrics(spark: SparkSession, out_path: str) -> DataFrame:

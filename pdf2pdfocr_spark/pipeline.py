@@ -629,6 +629,12 @@ def extract(
         # without the persist the OCR stage recomputes for the second action
         assembled = assembled.persist(StorageLevel.MEMORY_AND_DISK)
     processed = assembled.filter(F.col("page_error").isNull()).drop("page_error")
+    if config.cache_assembled:
+        # handle for callers to release the cache once both branches are
+        # consumed (jobs.run_extraction_job unpersists after its writes —
+        # a long-lived session running many jobs must not accumulate
+        # dataset-sized cached frames)
+        processed._persisted_parent = assembled
     quarantine = quarantined_by_gate.unionByName(
         assembled.filter(F.col("page_error").isNotNull()).select(
             "doc_id", F.col("page_error").alias("skip_reason"), "spans"

@@ -57,6 +57,52 @@ def test_lineage_metrics_match_output(spark, tmp_path):
     assert lin.filter(F.col("status") != "committed").count() == 0
 
 
+def test_lineage_never_rescans_output_table(spark, tmp_path):
+    """Round-2 verdict #3: the lineage write must not re-scan the whole
+    accumulated spans table (O(total corpus) per run, forever). After 3
+    sequential runs, the 3rd run's lineage aggregation reads ZERO files from
+    out_path/spans — it derives from the in-flight output frame — and the
+    lineage rows still exactly describe what the 3rd run landed."""
+    docs = corpus.synth_documents(30)
+    out = str(tmp_path / "out")
+    _run(spark, docs[:10], out, run_id="run-1")
+    _run(spark, docs[:20], out, run_id="run-2")
+
+    # third run, instrumented: run-3's input is docs[20:] (what resume
+    # would admit) built WITHOUT the resume anti-join, so the only possible
+    # spans-table read in the lineage plan would be the round-2 re-scan bug
+    df = corpus.corpus_df(spark, docs[20:])
+    processed, quarantine = extract(df, PipelineConfig())
+    lineage.write_checkpointed(processed, quarantine, out, run_id="run-3")
+
+    out3 = lineage.with_bucket(processed).withColumn("run_id", F.lit("run-3"))
+    lin3 = lineage.lineage_summary(out3)
+    span_files = [f for f in lin3.inputFiles() if "/spans" in f]
+    assert span_files == [], f"lineage plan scans the output table: {span_files}"
+
+    # and the persisted lineage for run-3 matches run-3's actual output
+    lin = lineage.read_lineage(spark, out).filter(F.col("run_id") == "run-3")
+    written = lineage.read_output(spark, out).filter(F.col("run_id") == "run-3")
+    tot = lin.agg(F.sum("n_docs"), F.sum("n_spans")).collect()[0]
+    assert tot[0] == written.count()
+    assert tot[1] == written.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+
+def test_metrics_rerun_same_run_id_overwrites(spark, tmp_path):
+    """ADVICE: re-running a job with the same run_id must not double-append
+    metrics rows — the run's partition is dynamically overwritten."""
+    out = str(tmp_path / "out")
+    lineage.write_metrics(spark, out, "run-a", {"ocr_pages_in": 5})
+    lineage.write_metrics(spark, out, "run-b", {"ocr_pages_in": 7})
+    lineage.write_metrics(spark, out, "run-a", {"ocr_pages_in": 9})
+    m = {
+        (r["run_id"], r["stage"]): r["n"]
+        for r in lineage.read_metrics(spark, out).collect()
+    }
+    # run-a replaced (not duplicated), run-b untouched
+    assert m == {("run-a", "ocr_pages_in"): 9, ("run-b", "ocr_pages_in"): 7}
+
+
 def test_quarantine_ledger_written(spark, tmp_path):
     docs = corpus.synth_documents(26)
     out = str(tmp_path / "out")
