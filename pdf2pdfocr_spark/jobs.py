@@ -5,7 +5,12 @@
 
 Flags mirror the reference CLI (pdf2pdfocr.py:1413-1491): -t/--check-text,
 -a/--avoid-encrypted, -b/--min-kbytes, -p/--max-pages, -c/--engine,
--l/--lang, -d/--deskew, -f/--force-rebuild, --ignore-existing-text.
+-l/--lang, -d/--deskew, -f/--force-rebuild, --ignore-existing-text,
+-r/--dpi (image_resolution, 1465-1467), -m/--psm (tess_psm, 1472-1474),
+-x/--extra-ocr-flags (extra_ocr_flag, 1476-1477), --timeout (whole-document
+budget, 1478-1479 + 1511-1528), -s/--safe-mode (output-exists skip,
+1161-1167). (--page-timeout is a Spark-side extension: the per-page wall
+that keeps one stuck page from holding a whole Arrow batch.)
 
 The job composes resume → extract → checkpointed write, so a re-submission
 after a mid-run kill continues where the previous run stopped (never
@@ -39,9 +44,19 @@ def run_extraction_job(
     # the checkpointed write consumes BOTH branches (spans + quarantine) —
     # persist the assembled frame so the OCR stage runs exactly once
     config = dataclasses.replace(config, cache_assembled=True)
-    remaining = lineage.resume_filter(docs, out_path)
+    done_docs = None
+    if config.safe_mode:
+        # -s safe mode (pdf2pdfocr.py:1161-1167): already-done docs stay in
+        # the batch and quarantine with reason 'output_exists' (visible in
+        # the ledger), instead of being silently anti-joined away
+        remaining = docs
+        done_docs = lineage.done_doc_ids(spark, out_path)
+    else:
+        remaining = lineage.resume_filter(docs, out_path)
     progress = StageProgress(spark)  # O5 live per-stage page counts
-    processed, quarantine = extract(remaining, config, progress=progress)
+    processed, quarantine = extract(
+        remaining, config, done_docs=done_docs, progress=progress
+    )
     lineage.write_checkpointed(processed, quarantine, out_path, run_id)
     lineage.write_metrics(spark, out_path, run_id, progress.snapshot())
     # release the assembled-frame cache: a long-lived session running many
@@ -80,18 +95,35 @@ def _parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--autorotate", action="store_true")
     p.add_argument("-f", "--force-rebuild", action="store_true")
     p.add_argument("--ignore-existing-text", action="store_true")
+    p.add_argument("-r", "--dpi", type=int, default=300)
+    p.add_argument("-m", "--psm", type=int, default=None)
+    # reference -x takes ONE string of engine flags; split on whitespace
+    p.add_argument("-x", "--extra-ocr-flags", default="")
+    p.add_argument("--timeout", type=float, default=None)       # per document
+    p.add_argument("--page-timeout", type=float, default=None)  # per page
+    p.add_argument("-s", "--safe-mode", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=8)
     return p.parse_args(argv)
 
 
-def main(argv=None) -> None:
-    args = _parse_args(argv)
-    config = PipelineConfig(
-        ocr=OcrConfig(engine=args.engine, lang=args.lang),
+def config_from_args(args: argparse.Namespace) -> "PipelineConfig":
+    """argparse namespace → PipelineConfig (split out so tests can assert
+    every CLI flag actually reaches the config)."""
+    return PipelineConfig(
+        ocr=OcrConfig(
+            engine=args.engine,
+            lang=args.lang,
+            psm=args.psm,
+            dpi=args.dpi,
+            extra_flags=tuple(args.extra_ocr_flags.split()),
+            page_timeout_s=args.page_timeout,
+            doc_timeout_s=args.timeout,
+        ),
         min_kbytes=args.min_kbytes,
         max_pages=args.max_pages,
         check_text_mode=args.check_text,
         avoid_encrypted=args.avoid_encrypted,
+        safe_mode=args.safe_mode,
         ignore_existing_text=args.ignore_existing_text,
         deskew_threshold=args.deskew,
         convert_params=args.convert_params,
@@ -99,6 +131,11 @@ def main(argv=None) -> None:
         force_rebuild=args.force_rebuild,
         salt_buckets=args.salt_buckets,
     )
+
+
+def main(argv=None) -> None:
+    args = _parse_args(argv)
+    config = config_from_args(args)
     spark = build_spark(app=f"pdf2pdfocr_spark-{args.run_id}")
     docs = spark.read.parquet(args.input)
     metrics = run_extraction_job(spark, docs, args.output, args.run_id, config)

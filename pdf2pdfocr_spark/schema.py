@@ -74,6 +74,10 @@ OCR_PAGE_RESULT_SCHEMA = T.StructType(
         T.StructField("page_text", T.StringType(), True),
         T.StructField("words", T.ArrayType(T.StringType()), True),
         T.StructField("error", T.StringType(), True),      # quarantine reason
+        # per-page OCR wall seconds — summed per doc at reassembly for the
+        # document-level timeout budget (reference --timeout bounds the whole
+        # document, pdf2pdfocr.py:1511-1528)
+        T.StructField("wall_s", T.DoubleType(), True),
     ]
 )
 
@@ -101,6 +105,7 @@ OCR_PAGE_GEOMETRY_SCHEMA = T.StructType(
         T.StructField("page_w_pt", T.DoubleType(), True),
         T.StructField("page_h_pt", T.DoubleType(), True),
         T.StructField("error", T.StringType(), True),
+        T.StructField("wall_s", T.DoubleType(), True),
     ]
 )
 

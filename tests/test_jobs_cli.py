@@ -19,6 +19,49 @@ def test_parse_args_reference_flags():
     assert a.ignore_existing_text
 
 
+def test_every_cli_flag_reaches_the_config():
+    """Round-2 verdict #2: -r DPI, -m psm, -x extra flags, --timeout and -s
+    were parseable by OcrConfig but not wired through the job CLI."""
+    from pdf2pdfocr_spark.jobs import config_from_args
+
+    a = _parse_args(
+        "--input i --output o --run-id r -c tesseract -l deu -r 150 -m 6".split()
+        + ["-x", "--oem 1 --fast"]  # reference -x: ONE string of flags
+        + "--timeout 120 --page-timeout 30 -s -b 2 -p 50 -d 0.3 -g jpeg "
+          "--autorotate".split()
+    )
+    c = config_from_args(a)
+    assert c.ocr.dpi == 150
+    assert c.ocr.psm == 6
+    assert c.ocr.extra_flags == ("--oem", "1", "--fast")
+    assert c.ocr.doc_timeout_s == 120.0
+    assert c.ocr.page_timeout_s == 30.0
+    assert c.safe_mode is True
+    assert c.ocr.lang == "deu"
+    assert (c.min_kbytes, c.max_pages, c.deskew_threshold) == (2, 50, 0.3)
+    assert c.convert_params == "jpeg" and c.autorotate
+
+
+def test_safe_mode_quarantines_output_exists(spark, tmp_path):
+    """-s: a re-run over the same input quarantines already-done docs with
+    reason 'output_exists' (visible ledger) instead of anti-joining them
+    away — and still never duplicates output rows."""
+    import dataclasses
+
+    out = str(tmp_path / "out")
+    docs = corpus.corpus_df(spark, corpus.synth_documents(8))
+    config = PipelineConfig(ocr=OcrConfig(engine="tesseract"))
+    m1 = run_extraction_job(spark, docs, out, "r1", config)
+    safe = dataclasses.replace(config, safe_mode=True)
+    m2 = run_extraction_job(spark, docs, out, "r2", safe)
+    assert m2["n_docs"] == 0
+    outdf = lineage.read_output(spark, out)
+    assert outdf.count() == outdf.select("doc_id").distinct().count() == m1["n_docs"]
+    q2 = spark.read.parquet(f"{out}/quarantine").filter("run_id = 'r2'")
+    reasons = {r["skip_reason"] for r in q2.collect()}
+    assert "output_exists" in reasons
+
+
 def test_job_idempotent_and_counts(spark, tmp_path):
     out = str(tmp_path / "out")
     docs = corpus.corpus_df(spark, corpus.synth_documents(13))
