@@ -75,6 +75,19 @@ def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, cents, nprobe=3, k=10)
 
 
+def _ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the FITTED (sampled k-means) coarse quantizer — the
+    committed artifact from tools/fit_ivf.py; same operator shape as
+    sim_ivf_topk, trained centroids instead of seeded-random ones."""
+    from pdf2pdfocr_spark.operators import similarity
+    from pdf2pdfocr_spark.plans.entry_queries import load_fitted_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    cents = load_fitted_ivf_centroids()
+    return similarity.ivf_topk(emb, qvec, cents, nprobe=2, k=10)
+
+
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed top-k neighbours for every vector (spark-only)."""
     from pdf2pdfocr_spark.operators import similarity
@@ -114,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out["flagship_extract_spans"] = _flagship
     out["sim_ivf_topk"] = _ivf_ann
+    out["sim_ivf_kmeans_topk"] = _ivf_kmeans_ann
     out["sim_lsh_ann_topk"] = _lsh_ann
     out["sim_knn_join"] = _knn_join
     out["sim_embedding_near_dups"] = _emb_near_dups

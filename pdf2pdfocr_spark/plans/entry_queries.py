@@ -851,25 +851,24 @@ LIMIT 10
 _IVF_CENTROIDS = similarity.ivf_centroids(EMB_DIM, 8, seed=7)
 _IVF_NPROBE = 3
 
-# IVF oracle: cell = argmax-dot centroid (first index wins ties); the probe
-# set is derived IN SQL from the query row's own dots list — rank of the
-# row's cell among the query's cell-dots must be < nprobe (ties by index),
-# which mirrors similarity.ivf_probe_cells exactly.
-_IVF_DOTS = (
-    "["
-    + ", ".join(
-        f"list_dot_product(v, {_duck_vec(c)})" for c in _IVF_CENTROIDS
-    )
-    + "]"
-)
 
-SQL_IVF_TOPK = f"""
+def _ivf_sql(centroids: list, nprobe: int) -> str:
+    """IVF oracle: cell = argmax-dot centroid (first index wins ties); the
+    probe set is derived IN SQL from the query row's own dots list — rank of
+    the row's cell among the query's cell-dots must be < nprobe (ties by
+    index), which mirrors similarity.ivf_probe_cells exactly."""
+    dots = (
+        "["
+        + ", ".join(f"list_dot_product(v, {_duck_vec(c)})" for c in centroids)
+        + "]"
+    )
+    return f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 a AS (
-  SELECT vec_id, v, {_IVF_DOTS} AS dots,
-         CAST(list_position({_IVF_DOTS}, list_max({_IVF_DOTS})) - 1 AS INT)
+  SELECT vec_id, v, {dots} AS dots,
+         CAST(list_position({dots}, list_max({dots})) - 1 AS INT)
            AS cell
   FROM b
 ),
@@ -881,10 +880,36 @@ SELECT vec_id,
 FROM a, q
 WHERE len(list_filter(range(len(qdots)),
           i -> qdots[i+1] > qdots[cell+1]
-               OR (qdots[i+1] = qdots[cell+1] AND i < cell))) < {_IVF_NPROBE}
+               OR (qdots[i+1] = qdots[cell+1] AND i < cell))) < {nprobe}
 ORDER BY score DESC, vec_id
 LIMIT 10
 """
+
+
+SQL_IVF_TOPK = _ivf_sql(_IVF_CENTROIDS, _IVF_NPROBE)
+
+
+def load_fitted_ivf_centroids() -> list:
+    """The committed k-means quantizer artifact (tools/fit_ivf.py): trained
+    once on the sf0.01 embeddings (bounded deterministic sample + Lloyd
+    iterations, similarity.fit_ivf_centroids) and shipped as literals — the
+    operator shape is identical to the random-quantizer path, only the
+    centroids change (round-2 verdict #7)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "ivf_centroids_sf001.json",
+    )
+    with open(path) as f:
+        return json.load(f)["centroids"]
+
+
+_IVF_KMEANS_CENTROIDS = load_fitted_ivf_centroids()
+_IVF_KMEANS_NPROBE = 2
+
+SQL_IVF_KMEANS_TOPK = _ivf_sql(_IVF_KMEANS_CENTROIDS, _IVF_KMEANS_NPROBE)
 
 # multi-band candidate generation mirroring similarity.knn_candidates:
 # bands=2, r=3 planes each, per-(band,bucket) cap 1000 by vec_id rank
@@ -959,6 +984,7 @@ FROM read_parquet('/root/repo/golden/multimodal_features.parquet')
 
 EXTRA_ORACLES = {
     "sim_ivf_topk": SQL_IVF_TOPK,
+    "sim_ivf_kmeans_topk": SQL_IVF_KMEANS_TOPK,
     "sim_lsh_ann_topk": SQL_LSH_ANN_TOPK,
     "sim_knn_join": SQL_KNN_JOIN,
     "sim_embedding_near_dups": SQL_EMB_NEAR_DUPS,
