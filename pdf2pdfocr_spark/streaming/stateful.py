@@ -36,6 +36,12 @@ def _reassemble_fn(
     else:
         offsets, texts, expected = [], [], -1
 
+    # O(1) membership: `off not in offsets` on the state LIST is
+    # O(pages²)/doc across a document's lifetime — 10⁸ comparisons for a
+    # 10k-page doc (round-2 verdict). The set is rebuilt per invocation
+    # from the state list (state schema unchanged), so the quadratic term
+    # is gone while the state stays a plain array.
+    seen = set(offsets)
     for pdf in batches:
         # zipped column arrays, not iterrows() (the slowest pandas path)
         for off, n_pages, text in zip(
@@ -43,8 +49,10 @@ def _reassemble_fn(
             pdf["page_text"].to_numpy(),
         ):
             expected = int(n_pages)
-            if int(off) not in offsets:  # idempotent re-delivery
-                offsets.append(int(off))
+            off = int(off)
+            if off not in seen:  # idempotent re-delivery
+                seen.add(off)
+                offsets.append(off)
                 texts.append(text)
 
     if expected >= 0 and len(offsets) >= expected:

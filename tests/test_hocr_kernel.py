@@ -87,3 +87,70 @@ def test_px_to_pt():
     # px / dpi * 72 (pdf2pdfocr.py:349-354)
     assert H.px_to_pt(300, 300) == 72.0
     assert H.px_to_pt(2480, 300) == pytest.approx(595.2)
+
+
+def test_hand_written_fixture_literal_spans():
+    """Round-2 verdict #9 (flagship-golden independence hardening): a
+    LITERAL hOCR document — written by hand, never produced by synth_hocr —
+    with hand-computed expected word tuples. Covers in one fixture:
+    namespaced tags, ocrx_word extraction with nested markup (strong/em
+    text+tail concat), ligature normalization, empty-after-rstrip skip,
+    missing-bbox default (0,0,0,0), and document order. If the shared
+    parse kernel regresses, this fails independently of any generator."""
+    doc = """<?xml version="1.0" encoding="UTF-8"?>
+<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en">
+ <body>
+  <div class="ocr_page" id="page_1"
+       title="image page.png; bbox 0 0 2480 3508; ppageno 0">
+   <div class="ocr_carea" title="bbox 100 100 2380 3408">
+    <p class="ocr_par">
+     <span class="ocr_line" title="bbox 120 150 900 210">
+      <span class="ocrx_word" title="bbox 120 150 300 210">The</span>
+      <span class="ocrx_word" title="bbox 320 150 560 210"><strong>qu</strong>ick</span>
+      <span class="ocrx_word" title="bbox 580 150 900 210">ﬂow</span>
+     </span>
+     <span class="ocr_line" title="bbox 120 250 900 310">
+      <span class="ocrx_word" title="bbox 120 250 200 310">   </span>
+      <span class="ocrx_word">nobox</span>
+      <span class="ocrx_word" title="bbox 400 250 700 310">ﬁn<em>al</em>e </span>
+     </span>
+    </p>
+   </div>
+  </div>
+ </body>
+</html>"""
+    page = H.parse_hocr(doc)
+    assert (page.width_px, page.height_px) == (2480, 3508)
+    assert [
+        (w.text, w.x1, w.y1, w.x2, w.y2) for w in page.words
+    ] == [
+        ("The", 120, 150, 300, 210),
+        # nested <strong> text + tail concatenated recursively
+        ("quick", 320, 150, 560, 210),
+        # ﬂ ligature normalized
+        ("flow", 580, 150, 900, 210),
+        # whitespace-only word skipped (empty after rstrip)
+        # missing title → bbox defaults to (0,0,0,0)
+        ("nobox", 0, 0, 0, 0),
+        # ﬁ ligature + nested <em> + trailing space rstripped
+        ("finale", 400, 250, 700, 310),
+    ]
+    assert H.hocr_plain_text(page) == "The quick flow nobox finale\n"
+
+
+def test_hand_written_fixture_line_fallback_and_no_page():
+    """Literal fixtures for the two remaining kernel branches: ocr_line
+    fallback when no ocrx_word exists, and the no-ocr_page hard error."""
+    line_only = """<html xmlns="http://www.w3.org/1999/xhtml"><body>
+  <div class="ocr_page" title="bbox 0 0 1000 800">
+   <span class="ocr_line" title="bbox 10 20 400 60">whole line text</span>
+   <span class="ocr_line" title="bbox 10 80 400 120">second ﬂine</span>
+  </div></body></html>"""
+    page = H.parse_hocr(line_only)
+    assert [(w.text, w.x1, w.y1, w.x2, w.y2) for w in page.words] == [
+        ("whole line text", 10, 20, 400, 60),
+        ("second fline", 10, 80, 400, 120),
+    ]
+
+    with pytest.raises(ValueError, match="no ocr_page"):
+        H.parse_hocr("<html><body><p>not hocr</p></body></html>")
