@@ -426,6 +426,75 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) where
+    cluster_id = the MINIMUM doc_id reachable through the pair graph — the
+    step that turns pairwise dedup output into actionable groups (keep one
+    representative per cluster, drop the rest).
+
+    Algorithm: iterative min-label propagation (the simple half of
+    large-star/small-star): every node starts as its own label; each round
+    every node takes the min label over itself and its neighbours; stop when
+    no label changed. Rounds needed = graph diameter ≤ O(log n) for the
+    short, chain-free clusters dedup produces (near-dup clusters are dense).
+    Each round is one join + one groupBy — all JVM-side; the driver loop
+    only runs a convergence count per round (bounded by ``max_iters``, which
+    raises rather than silently emitting unconverged labels).
+
+    Input: (id_a, id_b [, ...]) pair rows. Output: (doc_id, cluster_id),
+    one row per node that appears in any pair.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+    )
+    edges = edges.persist()
+    try:
+        # localCheckpoint (eager) each round, NOT plain persist: the round-N
+        # plan references the round-(N-1) plan twice (neighbour join +
+        # convergence compare), so the LOGICAL plan doubles every round and
+        # Catalyst re-analyzes the whole tree per action — exponential
+        # analysis time by ~iteration 15 even though the data is cached.
+        # Checkpointing truncates the plan to the materialized blocks
+        # (executor-side, never the driver), keeping every round O(1) plans.
+        labels = (
+            edges.select("u").distinct().withColumn("label", F.col("u"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            # min over (own label, neighbours' labels)
+            neigh = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("label").alias("nl"))
+            )
+            new_labels = (
+                labels.join(neigh, "u", "left")
+                .select(
+                    "u", F.least("label", F.coalesce("nl", "label")).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+                )
+    finally:
+        edges.unpersist()
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} rounds "
+        "(pathological chain graph?) — raise max_iters"
+    )
+
+
 def simhash_chunk_overflow(docs: DataFrame, bits: int = 32,
                            max_hamming: int = 3, id_col: str = "doc_id",
                            text_col: str = "text",

@@ -777,6 +777,96 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= 2
 """
 )
 
+# --- dedup: connected-component duplicate clusters ----------------------------
+
+def q_dedup_clusters(spark, sf_dir):
+    """Pairwise near-dups → actionable groups: connected components over the
+    capped SimHash pair graph (min-label propagation, dedup.duplicate_clusters).
+    The DuckDB oracle computes the same clusters via a recursive-CTE
+    transitive closure (min reachable id per node) — an engine-independent
+    definition of the component labels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dups(
+        docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (" + SQL_SIMHASH_PAIRS + """),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, w) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u
+)
+SELECT u AS doc_id, min(w) AS cluster_id FROM reach GROUP BY u
+"""
+)
+
+# --- sampling: deterministic per-stratum sample --------------------------------
+
+def q_sample_stratified(spark, sf_dir):
+    """Hash-deterministic stratified sampling (operators/sampling.py): at
+    most k docs per source, chosen by md5-rank of the id — reproducible
+    across runs AND engines (never rand())."""
+    from pdf2pdfocr_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "source", k=5).select(
+        "doc_id", "source", F.col("_rank").alias("sample_rank")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(source || '|' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+# --- sharding: token-budget greedy packing --------------------------------------
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budgeted shard packing (operators/sampling.py): docs hash-
+    bucketed (parallel packers), greedy exclusive-running-sum within each
+    bucket — shard = floor(preceding_tokens / budget)."""
+    from pdf2pdfocr_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", ta.token_count_ws(F.col("text"))
+    )
+    return sampling.pack_shards(docs, budget=2000, buckets=8).select(
+        "doc_id", "bucket", "shard", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+SQL_PACK_SHARDS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 2000) AS INT) AS shard,
+       n_tokens
+FROM t
+"""
+
 # --- similarity: brute-force cosine top-k ---------------------------------------
 
 def q_sim_cosine_topk(spark, sf_dir):
@@ -1202,6 +1292,9 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_stratified": q_sample_stratified,
+    "pack_shards": q_pack_shards,
     "sim_cosine_topk": q_sim_cosine_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -1239,6 +1332,9 @@ ORACLES = {
     "dedup_minhash_pairs": SQL_MINHASH_PAIRS,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "pack_shards": SQL_PACK_SHARDS,
     "sim_cosine_topk": SQL_COSINE_TOPK,
     "text_langid": SQL_LANGID,
     "text_quality": SQL_QUALITY,

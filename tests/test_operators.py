@@ -176,3 +176,74 @@ def test_multimodal_codec_decoder_stubbed(spark):
     feats = multimodal.extract_features(media, decoder=multimodal.CodecDecoder())
     rows = feats.collect()
     assert all(r["error"] and "decoder_unavailable" in r["error"] for r in rows)
+
+
+def test_duplicate_clusters_min_label(spark):
+    from pdf2pdfocr_spark.operators import dedup
+
+    # two components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from pdf2pdfocr_spark.operators import dedup
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.duplicate_clusters(pairs).count() == 0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from pdf2pdfocr_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    a = sampling.stratified_sample(df, "source", k=4).collect()
+    b = sampling.stratified_sample(df, "source", k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["_rank"])
+    assert set(per) == {"s0", "s1", "s2"}
+    for ranks in per.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+    # the hash order is not ingestion order (it actually shuffles)
+    ids = sorted(r["doc_id"] for r in a)
+    assert ids != list(range(12))
+
+
+def test_pack_shards_greedy_boundaries(spark):
+    from pdf2pdfocr_spark.operators import sampling
+
+    # single bucket (buckets=1) isolates the packing semantics
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 250), (4, 10), (5, 10)],
+        "doc_id long, n_tokens long",
+    )
+    got = {r["doc_id"]: r["shard"]
+           for r in sampling.pack_shards(df, budget=100, buckets=1).collect()}
+    # preceding sums: d1=0, d2=60, d3=120, d4=370, d5=380
+    assert got == {1: 0, 2: 0, 3: 1, 4: 3, 5: 3}
+    # every doc in exactly one shard; oversized doc 3 leaves shard 2 empty
+    # (stable, non-dense numbering — documented)
+
+
+def test_pack_shards_bucket_isolation(spark):
+    from pdf2pdfocr_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = sampling.pack_shards(df, budget=200, buckets=8)
+    # shard 0 of each bucket holds at most ceil(200/50)=4 docs
+    sizes = (
+        out.groupBy("bucket", "shard").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= 4
+    assert out.count() == 200
