@@ -52,7 +52,6 @@ def test_lsh_probe_prunes_partitions(spark, tmp_path):
 
     qvec = [1.0] * DIM
     probes = similarity.lsh_query_probes(qvec, planes, probe_hamming=1)
-    res = similarity.ivf_topk  # noqa: F841 — keep flake quiet
     topk = similarity.lsh_ann_topk(tbl, qvec, planes, k=5, probe_hamming=1)
 
     # (a) plan: the parquet scan has a PartitionFilters entry on lsh_bucket
