@@ -45,6 +45,8 @@ HEADLINE = (
     "h7_render_geometry",
     "text_quality",
     "text_fingerprint",
+    "sample_stratified",
+    "pack_shards",
 )
 
 BENCH_DOCS = 20_000      # default-mode flagship corpus (fast per-round run)

@@ -495,6 +495,21 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def keep_cluster_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Fuzzy keep-one: drop every clustered document except its cluster's
+    representative (the min id — ``duplicate_clusters`` label). Documents in
+    no pair survive untouched. The fuzzy analog of ``dedup_exact``: one
+    left-anti join against the non-representative member set."""
+    clusters = duplicate_clusters(pairs, max_iters)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash_chunk_overflow(docs: DataFrame, bits: int = 32,
                            max_hamming: int = 3, id_col: str = "doc_id",
                            text_col: str = "text",

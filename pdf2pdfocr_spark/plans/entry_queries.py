@@ -808,6 +808,36 @@ SELECT u AS doc_id, min(w) AS cluster_id FROM reach GROUP BY u
 """
 )
 
+# --- dedup: fuzzy keep-one (cluster representatives) ---------------------------
+
+def q_dedup_fuzzy_keep_one(spark, sf_dir):
+    """End-to-end fuzzy dedup: SimHash pairs → connected components → keep
+    only each cluster's min-id representative (plus unpaired docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dups(
+        docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
+    )
+    return dedup.keep_cluster_representatives(docs, pairs).select(
+        "doc_id", "n_chars"
+    )
+
+
+SQL_FUZZY_KEEP_ONE = (
+    SQL_DEDUP_CLUSTERS.rstrip()
+    .replace(
+        "SELECT u AS doc_id, min(w) AS cluster_id FROM reach GROUP BY u",
+        """clusters AS (
+  SELECT u AS doc_id, min(w) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+""",
+    )
+    .replace(
+        ")\nclusters AS (", "),\nclusters AS ("
+    )
+)
+
 # --- sampling: deterministic per-stratum sample --------------------------------
 
 def q_sample_stratified(spark, sf_dir):
@@ -1293,6 +1323,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_fuzzy_keep_one": q_dedup_fuzzy_keep_one,
     "sample_stratified": q_sample_stratified,
     "pack_shards": q_pack_shards,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -1333,6 +1364,7 @@ ORACLES = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_fuzzy_keep_one": SQL_FUZZY_KEEP_ONE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "pack_shards": SQL_PACK_SHARDS,
     "sim_cosine_topk": SQL_COSINE_TOPK,

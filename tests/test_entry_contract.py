@@ -96,3 +96,13 @@ def test_sparkonly_queries_run(spark):
         assert name in qs
         rows = qs[name](spark, SF_DIR).collect()
         assert len(rows) >= 0
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE name must be a queries() entry — a renamed
+    query must not silently vanish from the per-round benchmark."""
+    import bench
+
+    qs = entry_mod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
