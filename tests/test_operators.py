@@ -247,3 +247,20 @@ def test_pack_shards_bucket_isolation(spark):
     )
     assert sizes <= 4
     assert out.count() == 200
+
+
+def test_keep_cluster_representatives(spark):
+    from pdf2pdfocr_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    # clusters {1,2,5} and {6,7}; docs 0,3,4 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.keep_cluster_representatives(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 3, 4, 6]  # min-id per cluster + all unpaired
