@@ -190,6 +190,41 @@ def test_duplicate_clusters_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_chain_graph(spark):
+    """Round-3 verdict #2: a chain-shaped pair graph (A~B~C~…, realistic
+    template drift) has diameter = chain length; min-label propagation
+    needed O(diameter) rounds and raised at max_iters=20. Large-star/
+    small-star converges in O(log n) rounds — a 200-node chain (diameter
+    200) must resolve well under the default max_iters."""
+    from pdf2pdfocr_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_duplicate_clusters_two_chains_and_dense(spark):
+    """Mixed shapes in one pair set: two disjoint chains + one dense clique
+    — labels must be each component's min, nothing cross-contaminates."""
+    from pdf2pdfocr_spark.operators import dedup
+
+    chain_a = [(i, i + 1) for i in range(100, 140)]
+    chain_b = [(i, i + 1) for i in range(500, 520)]
+    clique = [(a, b) for a in range(900, 905) for b in range(a + 1, 905)]
+    pairs = spark.createDataFrame(
+        chain_a + chain_b + clique, "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    expect = {i: 100 for i in range(100, 141)}
+    expect.update({i: 500 for i in range(500, 521)})
+    expect.update({i: 900 for i in range(900, 905)})
+    assert got == expect
+
+
 def test_duplicate_clusters_empty_pairs(spark):
     from pdf2pdfocr_spark.operators import dedup
 
