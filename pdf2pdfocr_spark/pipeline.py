@@ -119,11 +119,16 @@ def apply_gates(
     if config.safe_mode and done_docs is not None:
         # F5 safe mode: output already exists → skip. The left join (vs a
         # bare anti-join) keeps the row for the quarantine ledger; pure
-        # resume uses lineage.resume_filter's left_anti instead.
+        # resume uses lineage.resume_filter's left_anti instead. NO
+        # broadcast hint (ADVICE r3): the done set is the accumulated
+        # output's doc_ids — unbounded growth, so a forced broadcast
+        # eventually exceeds driver/executor memory at 100 TB scale; AQE
+        # picks broadcast while it's small and SMJ once it isn't (and the
+        # bucketed done_ids table side then joins without its own shuffle).
         done = done_docs.select(
             F.col("doc_id").alias("doc_id"), F.lit(True).alias("_done")
         )
-        df = df.join(F.broadcast(done), "doc_id", "left")
+        df = df.join(done, "doc_id", "left")
     else:
         df = df.withColumn("_done", F.lit(None).cast("boolean"))
 

@@ -57,35 +57,88 @@ def test_lineage_metrics_match_output(spark, tmp_path):
     assert lin.filter(F.col("status") != "committed").count() == 0
 
 
-def test_lineage_never_rescans_output_table(spark, tmp_path):
-    """Round-2 verdict #3: the lineage write must not re-scan the whole
-    accumulated spans table (O(total corpus) per run, forever). After 3
-    sequential runs, the 3rd run's lineage aggregation reads ZERO files from
-    out_path/spans — it derives from the in-flight output frame — and the
-    lineage rows still exactly describe what the 3rd run landed."""
+def test_lineage_reads_only_this_runs_partition(spark, tmp_path):
+    """Lineage derives from the LANDED spans partition of this run (round-3
+    ADVICE: a recompute of the in-flight frame can disagree with what landed
+    when a cache block is lost under timing-dependent quarantine), and the
+    read-back lists ONLY this run's partition — O(this run), never the
+    accumulated table (round-2 verdict kept: no O(total-corpus) re-scan)."""
     docs = corpus.synth_documents(30)
     out = str(tmp_path / "out")
     _run(spark, docs[:10], out, run_id="run-1")
     _run(spark, docs[:20], out, run_id="run-2")
+    _run(spark, docs, out, run_id="run-3")
 
-    # third run, instrumented: run-3's input is docs[20:] (what resume
-    # would admit) built WITHOUT the resume anti-join, so the only possible
-    # spans-table read in the lineage plan would be the round-2 re-scan bug
-    df = corpus.corpus_df(spark, docs[20:])
-    processed, quarantine = extract(df, PipelineConfig())
-    lineage.write_checkpointed(processed, quarantine, out, run_id="run-3")
+    landed = lineage.landed_run(spark, out, "run-3")
+    files = landed.inputFiles()
+    assert files, "run-3 landed nothing?"
+    other = [f for f in files if "run_id=run-3" not in f]
+    assert other == [], f"lineage read-back touches other runs: {other}"
 
-    out3 = lineage.with_bucket(processed).withColumn("run_id", F.lit("run-3"))
-    lin3 = lineage.lineage_summary(out3)
-    span_files = [f for f in lin3.inputFiles() if "/spans" in f]
-    assert span_files == [], f"lineage plan scans the output table: {span_files}"
-
-    # and the persisted lineage for run-3 matches run-3's actual output
+    # persisted lineage for run-3 matches run-3's landed output exactly
     lin = lineage.read_lineage(spark, out).filter(F.col("run_id") == "run-3")
     written = lineage.read_output(spark, out).filter(F.col("run_id") == "run-3")
     tot = lin.agg(F.sum("n_docs"), F.sum("n_spans")).collect()[0]
     assert tot[0] == written.count()
     assert tot[1] == written.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+
+def test_resume_scans_only_compact_done_table(spark, tmp_path):
+    """Round-3 verdict #3: after 3 sequential runs the resume done-set plan
+    reads ONLY the compact doc_id-only done_ids table — never the span
+    table's doc_id column over everything ever written (terabytes per
+    re-submission at 10^12 docs)."""
+    docs = corpus.synth_documents(30)
+    out = str(tmp_path / "out")
+    _run(spark, docs[:10], out, run_id="run-1")
+    _run(spark, docs[:20], out, run_id="run-2")
+    _run(spark, docs, out, run_id="run-3")
+
+    done = lineage.done_doc_ids(spark, out)
+    files = done.inputFiles()
+    assert files and all("/done_ids" in f for f in files), files
+    span_files = [f for f in files if "/spans" in f]
+    assert span_files == [], f"done-set scans the span table: {span_files}"
+    # done set carries exactly the processed docs (quarantined docs are NOT
+    # done — a later run must retry them)
+    assert done.count() == lineage.read_output(spark, out).count()
+
+
+def test_resume_anti_join_zero_exchange_on_done_side(spark, tmp_path):
+    """The compact done table is Spark-bucketed+sorted on doc_id: against a
+    same-bucketed input table the resume left-anti join plans with ZERO
+    exchanges (the test_sources.py co-located-join pattern applied to the
+    real resume path — at 100 TB neither the corpus nor the done set gets
+    shuffled)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pdf2pdfocr_spark.sources.readers import write_bucketed_table
+
+    docs = corpus.synth_documents(20)
+    out = str(tmp_path / "out")
+    df = corpus.corpus_df(spark, docs)
+    processed, quarantine = extract(df, PipelineConfig())
+    lineage.write_checkpointed(processed, quarantine, out, "run-1", buckets=8)
+
+    write_bucketed_table(
+        df.select("doc_id"), "bk_resume_input", str(tmp_path / "bk_in"),
+        buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        done = lineage.done_doc_ids(spark, out)
+        anti = spark.table("bk_resume_input").join(done, "doc_id", "left_anti")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            anti.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+        n_docs = df.count()
+        assert anti.count() == n_docs - done.count()  # quarantined remain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_resume_input")
 
 
 def test_metrics_rerun_same_run_id_overwrites(spark, tmp_path):
