@@ -44,6 +44,12 @@ class OcrConfig:
     doc_timeout_s: float | None = None
 
 
+class EngineCancelled(Exception):
+    """Raised inside an engine call killed by the watchdog's ``cancel()`` —
+    deliberately NOT retried by the R7 repair ladder (retrying a cancelled
+    call would re-run the stuck work in the abandoned watchdog thread)."""
+
+
 @dataclass(frozen=True)
 class OcrPageResult:
     hocr: str | None
@@ -80,6 +86,30 @@ class SimulatedTesseract:
 
     def __init__(self, config: OcrConfig):
         self.config = config
+        # X5 cancellation hook state: the in-flight page call's interrupt
+        # flag (see ``cancel``) + an invocation counter for tests/metrics
+        self._cancel_event = None
+        self.cancel_count = 0
+
+    def cancel(self) -> None:
+        """X5 cancellation hook, invoked by the pipeline watchdog when a
+        page call exceeds its wall — the adapter analog of the reference
+        killing its child processes on timeout (pdf2pdfocr.py:669-692,
+        1511-1528). A real subprocess-backed engine implements this as
+        ``proc.kill()``; the simulator sets a flag its interruptible sleeps
+        poll, so the abandoned watchdog thread stops burning CPU instead of
+        running the stuck call to completion (round-3 verdict #2)."""
+        self.cancel_count += 1
+        ev = self._cancel_event
+        if ev is not None:
+            ev.set()
+
+    def _interruptible_sleep(self, secs: float) -> None:
+        """Simulator stall that honors ``cancel()`` — Event.wait returns
+        True the moment the watchdog sets the flag."""
+        ev = self._cancel_event
+        if ev is not None and ev.wait(secs):
+            raise EngineCancelled("engine call killed by watchdog")
 
     def capabilities(self) -> dict:
         """Engine capability negotiation — the adapter analog of the
@@ -95,21 +125,23 @@ class SimulatedTesseract:
         }
 
     def ocr_page(self, payload: PagePayload, repaired: bool = False) -> OcrPageResult:
+        # fresh interrupt flag per page call: a stale cancel from an earlier
+        # timed-out page must not kill this one (the abandoned thread holds
+        # its OWN event via closure inside _interruptible_sleep)
+        import threading
+
+        self._cancel_event = threading.Event()
         # honor the -x extra-flags pass-through (pdf2pdfocr.py:1475-1476);
         # '--sim-sleep=N' stalls every page, '--sim-sleep-if-seed=S:N' stalls
         # only the page with hocr_seed S — X5 timeout tests need one stuck
         # page inside an otherwise-healthy batch
         for flag in self.config.extra_flags:
             if flag.startswith("--sim-sleep="):
-                import time
-
-                time.sleep(float(flag.split("=", 1)[1]))
+                self._interruptible_sleep(float(flag.split("=", 1)[1]))
             elif flag.startswith("--sim-sleep-if-seed="):
                 sd, secs = flag.split("=", 1)[1].split(":")
                 if payload.hocr_seed == int(sd):
-                    import time
-
-                    time.sleep(float(secs))
+                    self._interruptible_sleep(float(secs))
         if payload.hocr_seed % REPAIR_RESIDUE == 0 and not repaired:
             raise RuntimeError("merge_failed: output PDF missing")
         hocr_str = H.synth_hocr(
@@ -132,6 +164,8 @@ class SimulatedTesseract:
         (try_repair_input_and_merge, pdf2pdfocr.py:909-926)."""
         try:
             return self.ocr_page(payload)
+        except EngineCancelled:
+            raise  # killed by the watchdog — never retry cancelled work
         except Exception:  # noqa: BLE001 — any engine failure gets one retry
             return self.ocr_page(payload, repaired=True)
 

@@ -103,6 +103,72 @@ def with_lsh_bucket(
     )
 
 
+def _ann_fingerprint(kind: str, params: list) -> str:
+    """Deterministic digest of the quantizer parameters (planes/centroids)
+    a partitioned ANN table was written with."""
+    import hashlib
+    import json
+
+    blob = json.dumps(
+        {"kind": kind, "params": [[round(float(v), 12) for v in row]
+                                  for row in params]},
+        sort_keys=True,
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _write_ann_meta(spark, path: str, kind: str, params: list) -> None:
+    """Sidecar fingerprint next to the partitioned table (written through
+    Spark so it lands on whatever filesystem the table does)."""
+    (
+        spark.createDataFrame(
+            [(kind, _ann_fingerprint(kind, params))],
+            "kind string, fingerprint string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}__ann_meta")
+    )
+
+
+def _validate_ann_meta(spark, path: str, kind: str, params: list) -> None:
+    try:
+        row = spark.read.json(f"{path}__ann_meta").collect()[0]
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(
+            f"no ANN fingerprint sidecar at {path}__ann_meta — was this "
+            "table written by write_lsh_partitioned/write_ivf_partitioned? "
+            "Probing a table with unknown quantizer params returns silently "
+            "wrong neighbors."
+        ) from exc
+    got = (row["kind"], row["fingerprint"])
+    want = (kind, _ann_fingerprint(kind, params))
+    if got != want:
+        raise ValueError(
+            f"ANN table at {path} was written with different quantizer "
+            f"params than those passed (fingerprint {got} != {want}) — "
+            "probe buckets would not match the stored partition column "
+            "(ADVICE r3: silent wrong-neighbor hazard). Re-write the table "
+            "or pass the original planes/centroids."
+        )
+
+
+def read_lsh_partitioned(spark, path: str, planes: list) -> DataFrame:
+    """Open a ``write_lsh_partitioned`` table for probing, VALIDATING that
+    ``planes`` match the ones the table was written with — a pre-existing
+    ``lsh_bucket`` column is trusted by ``with_lsh_bucket`` (that trust is
+    what makes partition pruning work), so the fingerprint check is the
+    guard against probing with mismatched planes."""
+    _validate_ann_meta(spark, path, "lsh", planes)
+    return spark.read.parquet(path)
+
+
+def read_ivf_partitioned(spark, path: str, centroids: list) -> DataFrame:
+    """IVF analog of ``read_lsh_partitioned`` (validates centroids)."""
+    _validate_ann_meta(spark, path, "ivf", centroids)
+    return spark.read.parquet(path)
+
+
 def write_lsh_partitioned(
     embeddings: DataFrame,
     planes: list,
@@ -111,13 +177,16 @@ def write_lsh_partitioned(
 ) -> None:
     """Materialize the embeddings table partitioned by ``lsh_bucket`` — the
     100 TB ANN layout: a probe with H planes reads |probes|/2^H of the data
-    via partition pruning instead of scanning everything."""
+    via partition pruning instead of scanning everything. A fingerprint of
+    ``planes`` is written alongside; ``read_lsh_partitioned`` validates it
+    before trusting the stored bucket column."""
     (
         with_lsh_bucket(embeddings, planes, vec_col)
         .write.mode("overwrite")
         .partitionBy("lsh_bucket")
         .parquet(path)
     )
+    _write_ann_meta(embeddings.sparkSession, path, "lsh", planes)
 
 
 def lsh_query_probes(query_vec: list, planes: list,
@@ -202,13 +271,15 @@ def write_ivf_partitioned(
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the embeddings table partitioned by ``ivf_cell`` — probes
-    read only the ``nprobe`` nearest inverted lists."""
+    read only the ``nprobe`` nearest inverted lists. Fingerprinted like
+    ``write_lsh_partitioned`` (``read_ivf_partitioned`` validates)."""
     (
         with_ivf_cell(embeddings, centroids, vec_col)
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
         .parquet(path)
     )
+    _write_ann_meta(embeddings.sparkSession, path, "ivf", centroids)
 
 
 def kmeans_centroids(vectors, n_cells: int, iters: int = 10,
@@ -242,16 +313,22 @@ def kmeans_centroids(vectors, n_cells: int, iters: int = 10,
     for _ in range(iters):
         sims = x @ c.T                      # (n, k) cosine similarities
         assign = np.argmax(sims, axis=1)
-        for k in range(len(c)):
-            members = x[assign == k]
+        # ADVICE r3: the inner loop used to shadow `k` (the cluster count)
+        # and, when several clusters emptied in one iteration, re-seeded
+        # them ALL to the same worst point (sims not refreshed) — duplicate
+        # centroids. Re-seed order now walks points by ascending
+        # similarity-to-assigned-centroid, skipping points already used as
+        # a re-seed this iteration, so emptied clusters get distinct seeds.
+        worst_order = np.argsort(sims[np.arange(len(x)), assign], kind="stable")
+        next_worst = iter(int(i) for i in worst_order)
+        for ci in range(len(c)):
+            members = x[assign == ci]
             if len(members) == 0:
-                # farthest point from its own centroid, deterministic
-                worst = int(np.argmin(sims[np.arange(len(x)), assign]))
-                c[k] = x[worst]
+                c[ci] = x[next(next_worst)]
                 continue
             m = members.mean(axis=0)
             n = np.linalg.norm(m)
-            c[k] = m / n if n > 0 else m
+            c[ci] = m / n if n > 0 else m
     return [[float(v) for v in row] for row in c]
 
 
@@ -275,9 +352,16 @@ def fit_ivf_centroids(
     step a real deploy runs once and ships as an artifact
     (tools/fit_ivf.py writes the committed JSON the entry queries inline).
     """
+    # seed folded in via string concat, NOT arithmetic `+` — `id + seed`
+    # nulls out on string id columns, silently degrading the deterministic
+    # sample to arbitrary order (ADVICE r3); concat works for any id type
     rows = (
-        embeddings.select(F.col(vec_col).alias("v"),
-                          F.xxhash64(F.col(id_col) + F.lit(seed)).alias("_h"))
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))
+            ).alias("_h"),
+        )
         .orderBy("_h")
         .limit(sample_n)
         .collect()

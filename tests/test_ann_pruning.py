@@ -48,7 +48,7 @@ def test_lsh_probe_prunes_partitions(spark, tmp_path):
     planes = similarity.hyperplanes(DIM, 4, seed=42)  # 16 buckets
     path = str(tmp_path / "emb_lsh")
     similarity.write_lsh_partitioned(emb, planes, path)
-    tbl = spark.read.parquet(path)
+    tbl = similarity.read_lsh_partitioned(spark, path, planes)
 
     qvec = [1.0] * DIM
     probes = similarity.lsh_query_probes(qvec, planes, probe_hamming=1)
@@ -83,7 +83,7 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     cents = similarity.ivf_centroids(DIM, 8, seed=7)
     path = str(tmp_path / "emb_ivf")
     similarity.write_ivf_partitioned(emb, cents, path)
-    tbl = spark.read.parquet(path)
+    tbl = similarity.read_ivf_partitioned(spark, path, cents)
 
     qvec = [1.0] * DIM
     cells = similarity.ivf_probe_cells(qvec, cents, nprobe=2)
@@ -104,6 +104,30 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
 
     raw = similarity.ivf_topk(emb, qvec, cents, nprobe=2, k=5)
     assert [tuple(r) for r in topk.collect()] == [tuple(r) for r in raw.collect()]
+
+
+def test_ann_fingerprint_rejects_mismatched_planes(spark, tmp_path):
+    """ADVICE r3: probing a partitioned table with DIFFERENT planes than it
+    was written with must fail loudly — with_lsh_bucket trusts an existing
+    bucket column (that's what makes pruning work), so the sidecar
+    fingerprint is the guard against silently wrong neighbors."""
+    import pytest
+
+    emb = _emb_df(spark, n=50)
+    planes = similarity.hyperplanes(DIM, 4, seed=42)
+    other = similarity.hyperplanes(DIM, 4, seed=99)
+    path = str(tmp_path / "emb_lsh_fp")
+    similarity.write_lsh_partitioned(emb, planes, path)
+
+    # matching planes: opens fine
+    assert similarity.read_lsh_partitioned(spark, path, planes).count() == 50
+    # mismatched planes: refused
+    with pytest.raises(ValueError, match="different quantizer"):
+        similarity.read_lsh_partitioned(spark, path, other)
+    # a bare parquet dir with no sidecar: refused too
+    emb.write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="no ANN fingerprint"):
+        similarity.read_lsh_partitioned(spark, str(tmp_path / "bare"), planes)
 
 
 def _clustered(spark, n_clusters=6, per=80, sigma=0.3, dim=16, seed=5):

