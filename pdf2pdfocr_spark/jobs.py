@@ -79,11 +79,127 @@ def run_extraction_job(
     }
 
 
+def run_dedup_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    run_id: str,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+    bucket_cap: int = 1000,
+    sample_k: int | None = None,
+    strata_col: str = "source",
+    shard_budget: int = 100_000,
+    shard_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The end-to-end training-data dedup flow the operator suite exists
+    for (round-3 verdict #7), one composed job:
+
+        MinHash-LSH pairs ∪ SimHash near-dup pairs
+          → connected-component duplicate clusters (large-star/small-star)
+          → keep one representative per cluster (min doc_id)
+          → deterministic stratified sample (optional, ``sample_k``/stratum)
+          → token-budgeted shard packing
+
+    Writes next to lineage (all under ``out_path``):
+      * ``shards``   — (bucket, shard, doc_id, n_tokens, …) partitioned by
+        bucket (one dir per shard-writer)
+      * ``clusters`` — the (doc_id, cluster_id) audit table
+      * ``ledgers/minhash_overflow`` / ``ledgers/simhash_overflow`` — the
+        no-silent-caps twins: which candidate buckets were truncated
+      * ``metrics``  — per-stage counts INCLUDING the overflow bucket
+        counts (round-3 verdict #8: capped buckets visible operationally)
+
+    Returns the metrics dict. Candidate generation is bucketed-and-capped
+    (never all-pairs) and every stage is one bounded shuffle — the same
+    plans the per-operator oracle queries pin, just chained.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf2pdfocr_spark.operators import dedup, sampling
+    from pdf2pdfocr_spark.operators.text_analysis import token_count_ws
+
+    mh = dedup.minhash_lsh_pairs(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        bucket_cap=bucket_cap,
+    ).select("id_a", "id_b")
+    sh = dedup.simhash_near_dups(
+        docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col,
+        bucket_cap=bucket_cap,
+    ).select("id_a", "id_b")
+    pairs = mh.union(sh).distinct().persist()
+
+    clusters = dedup.duplicate_clusters(pairs)  # localCheckpoints internally
+    clusters.write.mode("overwrite").parquet(f"{out_path}/clusters")
+    clusters = spark.read.parquet(f"{out_path}/clusters")
+
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(id_col)
+    kept = docs.join(drop, id_col, "left_anti")
+    kept = kept.withColumn("n_tokens", token_count_ws(F.col(text_col)))
+
+    sampled = (
+        sampling.stratified_sample(kept, strata_col, sample_k, id_col=id_col)
+        if sample_k is not None
+        else kept
+    )
+    shards = sampling.pack_shards(
+        sampled, budget=shard_budget, id_col=id_col, buckets=shard_buckets
+    )
+    shards.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_path}/shards"
+    )
+    shards = spark.read.parquet(f"{out_path}/shards")
+
+    mh_over = dedup.minhash_band_overflow(
+        docs, id_col=id_col, text_col=text_col, bucket_cap=bucket_cap
+    )
+    sh_over = dedup.simhash_chunk_overflow(
+        docs, id_col=id_col, text_col=text_col, bucket_cap=bucket_cap
+    )
+    mh_over.write.mode("overwrite").parquet(f"{out_path}/ledgers/minhash_overflow")
+    sh_over.write.mode("overwrite").parquet(f"{out_path}/ledgers/simhash_overflow")
+
+    # derived counts avoid recomputing the upstream frames: kept = in −
+    # dropped (drop ⊆ docs, ids unique); sampled = shard rows (every
+    # sampled doc lands in exactly one shard); overflow counts read the
+    # just-written ledgers
+    n_in, n_dropped = docs.count(), drop.count()
+    counts = {
+        "docs_in": n_in,
+        "dup_pairs": pairs.count(),
+        "docs_dropped": n_dropped,
+        "docs_kept": n_in - n_dropped,
+        "docs_sampled": shards.count(),
+        "shards": shards.select("bucket", "shard").distinct().count(),
+        "minhash_overflow_buckets": spark.read.parquet(
+            f"{out_path}/ledgers/minhash_overflow"
+        ).count(),
+        "simhash_overflow_buckets": spark.read.parquet(
+            f"{out_path}/ledgers/simhash_overflow"
+        ).count(),
+    }
+    pairs.unpersist()
+    lineage.write_metrics(spark, out_path, run_id, counts)
+    return {"run_id": run_id, **counts}
+
+
 def _parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="pdf2pdfocr_spark")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", required=True)
+    # job selector: 'extract' = the reference's OCR flow; 'dedup' = the
+    # chained training-data dedup/sample/pack flow (run_dedup_job)
+    p.add_argument("--job", choices=("extract", "dedup"), default="extract")
+    p.add_argument("--dedup-threshold", type=float, default=0.5)
+    p.add_argument("--dedup-max-hamming", type=int, default=3)
+    p.add_argument("--dedup-bucket-cap", type=int, default=1000)
+    p.add_argument("--sample-k", type=int, default=None)
+    p.add_argument("--strata-col", default="source")
+    p.add_argument("--shard-budget", type=int, default=100_000)
+    p.add_argument("--shard-buckets", type=int, default=64)
     p.add_argument("-t", "--check-text", action="store_true")
     p.add_argument("-a", "--avoid-encrypted", action="store_true")
     p.add_argument("-b", "--min-kbytes", type=int, default=0)
@@ -135,10 +251,24 @@ def config_from_args(args: argparse.Namespace) -> "PipelineConfig":
 
 def main(argv=None) -> None:
     args = _parse_args(argv)
-    config = config_from_args(args)
     spark = build_spark(app=f"pdf2pdfocr_spark-{args.run_id}")
     docs = spark.read.parquet(args.input)
-    metrics = run_extraction_job(spark, docs, args.output, args.run_id, config)
+    if args.job == "dedup":
+        metrics = run_dedup_job(
+            spark, docs, args.output, args.run_id,
+            threshold=args.dedup_threshold,
+            max_hamming=args.dedup_max_hamming,
+            bucket_cap=args.dedup_bucket_cap,
+            sample_k=args.sample_k,
+            strata_col=args.strata_col,
+            shard_budget=args.shard_budget,
+            shard_buckets=args.shard_buckets,
+        )
+    else:
+        config = config_from_args(args)
+        metrics = run_extraction_job(
+            spark, docs, args.output, args.run_id, config
+        )
     print(metrics)
 
 
