@@ -126,6 +126,151 @@ def run_flagship(spark, n_docs: int) -> tuple:
 
 BENCH_REPS = 3  # timed reps per query/flagship; headline = MEDIAN
 
+# ---------------------------------------------------------------------------
+# ANN pruning leg (round-3 verdict #6): the partitioned-table probe must be
+# measurably FASTER than the unpartitioned scan, not just proven-correct.
+# sf0.1's embeddings table is 2k rows — far too small to show a scan-vs-prune
+# delta — so the leg synthesizes a deterministic 200k×64 table once (JVM-side
+# expression gen, no Python row loop) and probes both layouts.
+# ---------------------------------------------------------------------------
+ANN_ROOT = "/tmp/spark_graft_bench_ann"
+ANN_N, ANN_DIM, ANN_PLANES = 200_000, 64, 6  # 2^6 = 64 partitions
+
+
+def _ann_planes():
+    from pdf2pdfocr_spark.operators import similarity
+
+    return similarity.hyperplanes(ANN_DIM, ANN_PLANES, seed=42)
+
+
+def prepare_ann_tables(spark) -> tuple:
+    """Write the synthetic embeddings twice: raw parquet and LSH-partitioned
+    (write_lsh_partitioned). Deterministic: vector components derive from
+    xxhash64(vec_id|j). One-time cost, marker-guarded."""
+    from pyspark.sql import functions as F
+
+    from pdf2pdfocr_spark.operators import similarity
+
+    raw, part = f"{ANN_ROOT}/raw", f"{ANN_ROOT}/lsh"
+    if os.path.exists(f"{ANN_ROOT}/_ANN_READY"):
+        return raw, part
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(ANN_DIM - 1)),
+        lambda j: (
+            F.pmod(
+                F.xxhash64(F.concat(F.col("id").cast("string"), F.lit("|"),
+                                    j.cast("string"))),
+                F.lit(2000),
+            )
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        ).cast("float"),
+    )
+    emb = spark.range(ANN_N).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    emb.repartition(32).write.mode("overwrite").parquet(raw)
+    similarity.write_lsh_partitioned(
+        spark.read.parquet(raw), _ann_planes(), part
+    )
+    open(f"{ANN_ROOT}/_ANN_READY", "w").close()
+    return raw, part
+
+
+def run_ann_pruning_leg(spark, reps: int) -> dict:
+    """Median wall of the SAME multi-probe top-k over (a) the raw table —
+    bucket computed per row, full scan — and (b) the lsh_bucket-partitioned
+    table — trusted column + partition pruning (reads |probes|/2^H of the
+    files). Both write to the noop sink."""
+    import statistics
+
+    from pdf2pdfocr_spark.operators import similarity
+
+    raw, part = prepare_ann_tables(spark)
+    planes = _ann_planes()
+    qvec = list(
+        spark.read.parquet(raw).filter("vec_id = 0").first()["embedding"]
+    )
+
+    def probe(path, validated):
+        tbl = (
+            similarity.read_lsh_partitioned(spark, path, planes)
+            if validated
+            else spark.read.parquet(path)
+        )
+        similarity.lsh_ann_topk(
+            tbl, qvec, planes, k=10, probe_hamming=1
+        ).write.format("noop").mode("overwrite").save()
+
+    timings = {}
+    for name, path, validated in (
+        ("ann_probe_unpartitioned", raw, False),
+        ("ann_probe_partitioned", part, True),
+    ):
+        probe(path, validated)  # untimed warm-up
+        secs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            probe(path, validated)
+            secs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(secs), 3)
+    return timings
+
+
+# ---------------------------------------------------------------------------
+# contention guard (round-3 verdict #1): a scaling campaign on a contended
+# host reports garbage (0.543 with bimodal walls, round-3 ledger). Before
+# each phase, time a fixed single-threaded CPU probe; if it runs >15% slower
+# than the stored quiet-host reference, retry after a pause and finally
+# refuse to report instead of reporting noise.
+# ---------------------------------------------------------------------------
+PROBE_REF_PATH = "BENCH/probe_ref.json"
+
+
+def cpu_probe(seconds: float = 2.0) -> float:
+    """Single-threaded md5 throughput (iterations/sec over a fixed block) —
+    a pure-CPU yardstick unaffected by Spark state."""
+    import hashlib
+
+    blob = b"\xab" * 65536
+    h = hashlib.md5()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        h.update(blob)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def check_contention(max_retries: int = 3, wait_s: float = 60.0) -> tuple:
+    """Returns (probe_hz, ref_hz). Raises RuntimeError if the host stays
+    contended. The stored reference ratchets UP whenever a probe beats it,
+    so it converges to the quiet-host value even if first calibrated on a
+    busy one."""
+    ref = None
+    if os.path.exists(PROBE_REF_PATH):
+        with open(PROBE_REF_PATH) as f:
+            ref = json.load(f)["hz"]
+    for attempt in range(max_retries):
+        hz = cpu_probe()
+        if ref is None or hz > ref:
+            ref = hz
+            os.makedirs("BENCH", exist_ok=True)
+            with open(PROBE_REF_PATH, "w") as f:
+                json.dump({"hz": ref}, f)
+        if hz >= 0.85 * ref:
+            return round(hz), round(ref)
+        print(
+            f"# contention: probe {hz:.0f}/s < 85% of ref {ref:.0f}/s "
+            f"(attempt {attempt + 1}/{max_retries}), waiting {wait_s:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+    raise RuntimeError(
+        f"host contended: CPU probe stuck below 85% of reference "
+        f"({hz:.0f}/s vs {ref:.0f}/s) — refusing to report a scaling number"
+    )
+
 
 def run_operator_queries(spark, sf_dir: str, reps: int = BENCH_REPS) -> dict:
     """Median-of-``reps`` per query after one untimed warm-up rep — round-2
@@ -166,6 +311,7 @@ def main_bench(args) -> None:
     spark = build_session(cores)
 
     timings = run_operator_queries(spark, sf_dir, reps)
+    timings.update(run_ann_pruning_leg(spark, reps))
     run_flagship(spark, args.n_docs)  # untimed warm-up: JIT + Python workers
     flag_secs, n_docs = [], 0
     for _ in range(reps):
@@ -227,7 +373,17 @@ def main_scaling(args) -> None:
         args.n_docs = SCALING_DOCS
     args.reps = max(args.reps, 5)  # median needs ≥5 reps to be defensible
     results = {}
+    probes = {}
     for cores in (8, 32):
+        try:
+            probes[cores] = check_contention()
+        except RuntimeError as exc:
+            print(json.dumps({
+                "metric": "scaling_efficiency", "value": None,
+                "unit": "ratio", "queries": {}, "sf": 0,
+                "aborted": str(exc),
+            }))
+            sys.exit(3)
         cmd = [sys.executable, os.path.abspath(__file__), "--corpus-only",
                "--cores", str(cores), "--n-docs", str(args.n_docs),
                "--reps", str(args.reps)]
@@ -256,7 +412,12 @@ def main_scaling(args) -> None:
             "CPU-pinned via taskset; the headline wall is the MEDIAN of "
             f"{args.reps} timed reps after two untimed warm-ups (JIT "
             "convergence + Python worker pre-fork). The corpus is sized so "
-            "per-job fixed costs are <2% of wall at both levels.\n\n"
+            "per-job fixed costs are <2% of wall at both levels. Each phase "
+            "is gated by a single-threaded CPU probe (≥85% of the stored "
+            "quiet-host reference, BENCH/probe_ref.json) — a contended "
+            "campaign refuses to report instead of reporting noise; this "
+            f"run's probes: N-phase {probes[8][0]}/s, 4N-phase "
+            f"{probes[32][0]}/s vs reference {probes[32][1]}/s.\n\n"
             "| cores | docs | rep walls (s) | median wall (s) | docs/sec |\n"
             "|---|---|---|---|---|\n"
             f"| 8 (N) | {results[8]['docs']} | {results[8]['all_secs']} "
@@ -269,7 +430,9 @@ def main_scaling(args) -> None:
         )
     print(json.dumps({"metric": "scaling_efficiency", "value": eff,
                       "unit": "ratio", "queries": {}, "sf": 0,
-                      "throughput_8": tp8, "throughput_32": tp32}))
+                      "throughput_8": tp8, "throughput_32": tp32,
+                      "probes_hz": {str(c): p[0] for c, p in probes.items()},
+                      "probe_ref_hz": probes[32][1]}))
 
 
 if __name__ == "__main__":
