@@ -838,6 +838,142 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
     )
 )
 
+# --- dedup: the CHAINED training-data job as one oracle-checked query ---------
+
+def q_dedup_job_kept(spark, sf_dir):
+    """The chained dedup job (jobs.run_dedup_job semantics) end-to-end as a
+    single cross-engine-checked query: MinHash-LSH pairs ∪ SimHash pairs →
+    connected components (large-star/small-star) → keep one representative
+    per cluster → whitespace token count → token-budget shard packing.
+    The DuckDB twin recomputes every stage: same caps (band/chunk
+    row_number), exact verification, recursive-CTE transitive closure,
+    same md5 bucket + exclusive-preceding-sum shard window."""
+    from pdf2pdfocr_spark.operators import sampling
+    from pdf2pdfocr_spark.operators.text_analysis import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    mh = dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, n=2, threshold=0.08, text_col="text",
+        bucket_cap=10,
+    ).select("id_a", "id_b")
+    sh = dedup.simhash_near_dups(
+        docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
+    ).select("id_a", "id_b")
+    pairs = mh.union(sh).distinct()
+    clusters = dedup.duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(drop, "doc_id", "left_anti").withColumn(
+        "n_tokens", token_count_ws(F.col("text"))
+    )
+    return sampling.pack_shards(kept, budget=500, buckets=4).select(
+        "doc_id", "n_tokens", "bucket", "shard"
+    )
+
+
+SQL_DEDUP_JOB_KEPT = (
+    "WITH RECURSIVE "
+    + _duck_shingles(150, 2)
+    + ", mh AS (SELECT doc_id, "
+    + ", ".join(_duck_mh(i) for i in range(8))
+    + " FROM sh), "
+    + "bands AS ("
+    + " UNION ALL ".join(_duck_band(b) for b in range(4))
+    + """),
+mcapped AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rk
+    FROM bands
+  ) WHERE rk <= 10
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mcapped a JOIN mcapped b USING (band, sig) WHERE a.doc_id < b.doc_id
+),
+mpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS c,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM mcand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+  ) WHERE c / (na + nb - c) >= 0.08
+),
+tok2 AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+'),
+           x -> length(x) > 0)) AS tok
+  FROM documents WHERE doc_id < 150
+),
+h2 AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM tok2
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h2, (SELECT unnest(range(0, 32)) AS b) bits
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk,
+         (simhash >> (c.chunk * 10)) & 1023 AS val
+  FROM fp, (SELECT unnest([0, 1, 2]) AS chunk) c
+),
+scapped AS (
+  SELECT doc_id, simhash, chunk, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk, val ORDER BY doc_id) AS rk
+    FROM chunks
+  ) WHERE rk <= 50
+),
+spairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.doc_id AS id_a, a.simhash AS h_a,
+                    b.doc_id AS id_b, b.simhash AS h_b
+    FROM scapped a JOIN scapped b USING (chunk, val)
+    WHERE a.doc_id < b.doc_id
+  ) WHERE bit_count(xor(h_a, h_b)) <= 2
+),
+pairs AS (SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM spairs),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, w) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.w = e.u
+),
+clusters AS (SELECT u AS doc_id, min(w) AS cluster_id FROM reach GROUP BY u),
+kept AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4 AS INT) AS bucket
+  FROM documents
+  WHERE doc_id < 150
+    AND doc_id NOT IN
+        (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 500) AS INT) AS shard
+FROM kept
+"""
+)
+
 # --- sampling: deterministic per-stratum sample --------------------------------
 
 def q_sample_stratified(spark, sf_dir):
@@ -1324,6 +1460,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_fuzzy_keep_one": q_dedup_fuzzy_keep_one,
+    "dedup_job_kept": q_dedup_job_kept,
     "sample_stratified": q_sample_stratified,
     "pack_shards": q_pack_shards,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -1365,6 +1502,7 @@ ORACLES = {
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_fuzzy_keep_one": SQL_FUZZY_KEEP_ONE,
+    "dedup_job_kept": SQL_DEDUP_JOB_KEPT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "pack_shards": SQL_PACK_SHARDS,
     "sim_cosine_topk": SQL_COSINE_TOPK,
