@@ -227,9 +227,8 @@ def run_ann_pruning_leg(spark, reps: int) -> dict:
 PROBE_REF_PATH = "BENCH/probe_ref.json"
 
 
-def cpu_probe(seconds: float = 2.0) -> float:
-    """Single-threaded md5 throughput (iterations/sec over a fixed block) —
-    a pure-CPU yardstick unaffected by Spark state."""
+def _probe_worker(seconds: float) -> float:
+    # module-level for multiprocessing pickling
     import hashlib
 
     blob = b"\xab" * 65536
@@ -242,33 +241,81 @@ def cpu_probe(seconds: float = 2.0) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def check_contention(max_retries: int = 3, wait_s: float = 60.0) -> tuple:
-    """Returns (probe_hz, ref_hz). Raises RuntimeError if the host stays
-    contended. The stored reference ratchets UP whenever a probe beats it,
-    so it converges to the quiet-host value even if first calibrated on a
-    busy one."""
-    ref = None
+def cpu_probe(seconds: float = 2.0) -> float:
+    """Single-threaded md5 throughput (iterations/sec over a fixed block) —
+    detects per-core slowdown (frequency scaling, core oversubscription)."""
+    return _probe_worker(seconds)
+
+
+def cpu_probe_mt(seconds: float = 1.5, workers: int | None = None) -> float:
+    """WHOLE-MACHINE probe: one hashing process per CPU, aggregate
+    iterations/sec. The round-4 lesson: a single-threaded probe passed at
+    92% of reference while the 32-core phase ran 60% slow — one probe
+    thread happily lands on a free core while co-tenants load the other 31.
+    Saturating every core makes co-tenant load show up as lost aggregate
+    throughput, which is exactly what a 32-core Spark phase experiences."""
+    import multiprocessing as mp
+
+    workers = workers or os.cpu_count() or 1
+    with mp.Pool(workers) as pool:
+        res = pool.map(_probe_worker, [seconds] * workers)
+    return sum(res)
+
+
+def _load_probe_ref() -> dict:
     if os.path.exists(PROBE_REF_PATH):
         with open(PROBE_REF_PATH) as f:
-            ref = json.load(f)["hz"]
+            ref = json.load(f)
+        ref.setdefault("hz_mt", None)  # pre-round-4 single-value format
+        return ref
+    return {"hz": None, "hz_mt": None}
+
+
+def _save_probe_ref(ref: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open(PROBE_REF_PATH, "w") as f:
+        json.dump(ref, f)
+
+
+def probe_host(ratchet: bool = True) -> dict:
+    """One combined probe sample: {'hz': single-core, 'hz_mt': all-cores,
+    'ok': bool vs the stored reference}. References ratchet UP whenever a
+    sample beats them, converging to the quiet-host value even if first
+    calibrated on a busy one."""
+    ref = _load_probe_ref()
+    hz = cpu_probe()
+    hz_mt = cpu_probe_mt()
+    changed = False
+    if ref["hz"] is None or hz > ref["hz"]:
+        ref["hz"], changed = hz, True
+    if ref["hz_mt"] is None or hz_mt > ref["hz_mt"]:
+        ref["hz_mt"], changed = hz_mt, True
+    if ratchet and changed:
+        _save_probe_ref(ref)
+    ok = hz >= 0.85 * ref["hz"] and hz_mt >= 0.85 * ref["hz_mt"]
+    return {"hz": round(hz), "hz_mt": round(hz_mt),
+            "ref_hz": round(ref["hz"]), "ref_hz_mt": round(ref["hz_mt"]),
+            "ok": ok}
+
+
+def check_contention(max_retries: int = 3, wait_s: float = 60.0) -> dict:
+    """Probe until the host looks quiet (single-core AND all-cores ≥85% of
+    reference) or retries are exhausted (RuntimeError — refuse to report)."""
     for attempt in range(max_retries):
-        hz = cpu_probe()
-        if ref is None or hz > ref:
-            ref = hz
-            os.makedirs("BENCH", exist_ok=True)
-            with open(PROBE_REF_PATH, "w") as f:
-                json.dump({"hz": ref}, f)
-        if hz >= 0.85 * ref:
-            return round(hz), round(ref)
+        p = probe_host()
+        if p["ok"]:
+            return p
         print(
-            f"# contention: probe {hz:.0f}/s < 85% of ref {ref:.0f}/s "
+            f"# contention: probe {p['hz']}/s (1c) {p['hz_mt']}/s (all) vs "
+            f"ref {p['ref_hz']}/{p['ref_hz_mt']} "
             f"(attempt {attempt + 1}/{max_retries}), waiting {wait_s:.0f}s",
             file=sys.stderr,
         )
         time.sleep(wait_s)
     raise RuntimeError(
-        f"host contended: CPU probe stuck below 85% of reference "
-        f"({hz:.0f}/s vs {ref:.0f}/s) — refusing to report a scaling number"
+        f"host contended: probes stuck below 85% of reference "
+        f"({p['hz']}/{p['ref_hz']} single-core, "
+        f"{p['hz_mt']}/{p['ref_hz_mt']} all-cores) — refusing to report"
     )
 
 
@@ -372,18 +419,17 @@ def main_scaling(args) -> None:
     if args.n_docs == BENCH_DOCS:  # default → use the scaling-sized corpus
         args.n_docs = SCALING_DOCS
     args.reps = max(args.reps, 5)  # median needs ≥5 reps to be defensible
+
+    def _abort(reason: str) -> None:
+        print(json.dumps({
+            "metric": "scaling_efficiency", "value": None,
+            "unit": "ratio", "queries": {}, "sf": 0, "aborted": reason,
+        }))
+        sys.exit(3)
+
     results = {}
     probes = {}
     for cores in (8, 32):
-        try:
-            probes[cores] = check_contention()
-        except RuntimeError as exc:
-            print(json.dumps({
-                "metric": "scaling_efficiency", "value": None,
-                "unit": "ratio", "queries": {}, "sf": 0,
-                "aborted": str(exc),
-            }))
-            sys.exit(3)
         cmd = [sys.executable, os.path.abspath(__file__), "--corpus-only",
                "--cores", str(cores), "--n-docs", str(args.n_docs),
                "--reps", str(args.reps)]
@@ -392,12 +438,37 @@ def main_scaling(args) -> None:
             # the idle CPUs for GC/shuffle/daemon threads, inflating the
             # small-cluster number and understating scaling efficiency
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        # a phase is accepted only if the host is quiet BOTH before and
+        # after it (round-4 lesson: contention arriving mid-phase degraded
+        # the last reps of a phase whose start-probe passed); a phase whose
+        # post-probe fails is re-run once, then the campaign refuses
+        for attempt in range(2):
+            try:
+                pre = check_contention()
+            except RuntimeError as exc:
+                _abort(str(exc))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=7200,
+            )
+            line = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("{")
+            ][-1]
+            post = probe_host()
+            if post["ok"]:
+                results[cores] = json.loads(line)
+                probes[cores] = {"pre": pre, "post": post}
+                break
+            print(
+                f"# phase {cores}c attempt {attempt + 1}: post-probe "
+                f"contended ({post['hz_mt']}/s all-cores vs ref "
+                f"{post['ref_hz_mt']}/s) — phase walls untrusted, retrying",
+                file=sys.stderr,
+            )
+        else:
+            _abort(
+                f"phase {cores}c stayed contended across retries "
+                "(post-phase all-cores probe below 85% of reference)"
+            )
 
     tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
     eff = round((tp32 / tp8) / 4.0, 3)
@@ -413,11 +484,15 @@ def main_scaling(args) -> None:
             f"{args.reps} timed reps after two untimed warm-ups (JIT "
             "convergence + Python worker pre-fork). The corpus is sized so "
             "per-job fixed costs are <2% of wall at both levels. Each phase "
-            "is gated by a single-threaded CPU probe (≥85% of the stored "
-            "quiet-host reference, BENCH/probe_ref.json) — a contended "
-            "campaign refuses to report instead of reporting noise; this "
-            f"run's probes: N-phase {probes[8][0]}/s, 4N-phase "
-            f"{probes[32][0]}/s vs reference {probes[32][1]}/s.\n\n"
+            "is accepted only if a CPU probe (single-core AND all-cores "
+            "aggregate, ≥85% of the stored quiet-host reference, "
+            "BENCH/probe_ref.json) passes BOTH before and after it — a "
+            "contended campaign refuses to report instead of reporting "
+            "noise. This run's all-cores probes (pre→post): N-phase "
+            f"{probes[8]['pre']['hz_mt']}→{probes[8]['post']['hz_mt']}/s, "
+            f"4N-phase {probes[32]['pre']['hz_mt']}→"
+            f"{probes[32]['post']['hz_mt']}/s vs reference "
+            f"{probes[32]['post']['ref_hz_mt']}/s.\n\n"
             "| cores | docs | rep walls (s) | median wall (s) | docs/sec |\n"
             "|---|---|---|---|---|\n"
             f"| 8 (N) | {results[8]['docs']} | {results[8]['all_secs']} "
@@ -431,8 +506,7 @@ def main_scaling(args) -> None:
     print(json.dumps({"metric": "scaling_efficiency", "value": eff,
                       "unit": "ratio", "queries": {}, "sf": 0,
                       "throughput_8": tp8, "throughput_32": tp32,
-                      "probes_hz": {str(c): p[0] for c, p in probes.items()},
-                      "probe_ref_hz": probes[32][1]}))
+                      "probes": probes}))
 
 
 if __name__ == "__main__":
