@@ -401,17 +401,40 @@ def main_corpus_only(args) -> None:
     # workers, so timed reps see the steady state a long-lived cluster runs
     run_flagship(spark, args.n_docs)
     run_flagship(spark, args.n_docs)
-    secs = []
-    for _ in range(args.reps):
+    # PER-REP contention gating (round-4 v2 campaign forensics: contention
+    # arrived at rep 3 of 5 inside a phase whose boundary probes were both
+    # quiet — 32c walls [81.5, 85.7, 108, 103, 101]). Every timed rep is
+    # accepted only if the all-cores probe run immediately AFTER it is
+    # quiet; contaminated reps are discarded and re-run (bounded attempts),
+    # so the median is computed over quiet-bracketed walls only. This is
+    # NOT best-of-N: discards are probe-driven (external evidence), never
+    # wall-driven, and the discard count is reported.
+    secs, discarded = [], 0
+    attempts_left = args.reps + 4
+    while len(secs) < args.reps and attempts_left > 0:
+        attempts_left -= 1
         n_docs, dt = run_flagship(spark, args.n_docs)
-        secs.append(round(dt, 3))
-    # headline = MEDIAN of the timed reps (round-1 verdict: best-of is not
-    # defensible under sandbox CPU noise)
+        p = probe_host()
+        if p["ok"]:
+            secs.append(round(dt, 3))
+        else:
+            discarded += 1
+            print(
+                f"# rep discarded ({dt:.1f}s): post-rep probe "
+                f"{p['hz_mt']}/s all-cores vs ref {p['ref_hz_mt']}/s",
+                file=sys.stderr,
+            )
+    if not secs:
+        print(json.dumps({"cores": args.cores, "error": "all reps contended"}))
+        sys.exit(4)
+    # headline = MEDIAN of the accepted reps (round-1 verdict: best-of is
+    # not defensible under sandbox CPU noise)
     import statistics
 
     dt = statistics.median(secs)
     print(json.dumps({"cores": args.cores, "docs": n_docs, "sec": dt,
-                      "docs_per_sec": round(n_docs / dt, 3), "all_secs": secs}))
+                      "docs_per_sec": round(n_docs / dt, 3), "all_secs": secs,
+                      "discarded_reps": discarded}))
     spark.stop()
 
 
@@ -453,9 +476,10 @@ def main_scaling(args) -> None:
             line = [
                 ln for ln in out.stdout.splitlines() if ln.startswith("{")
             ][-1]
+            res = json.loads(line)
             post = probe_host()
-            if post["ok"]:
-                results[cores] = json.loads(line)
+            if "error" not in res and post["ok"]:
+                results[cores] = res
                 probes[cores] = {"pre": pre, "post": post}
                 break
             print(
@@ -492,7 +516,12 @@ def main_scaling(args) -> None:
             f"{probes[8]['pre']['hz_mt']}→{probes[8]['post']['hz_mt']}/s, "
             f"4N-phase {probes[32]['pre']['hz_mt']}→"
             f"{probes[32]['post']['hz_mt']}/s vs reference "
-            f"{probes[32]['post']['ref_hz_mt']}/s.\n\n"
+            f"{probes[32]['post']['ref_hz_mt']}/s. Additionally every timed "
+            "rep is accepted only if the all-cores probe run immediately "
+            "after it is quiet (discards are probe-driven, never "
+            "wall-driven); probe-discarded reps this run: N-phase "
+            f"{results[8].get('discarded_reps', 0)}, 4N-phase "
+            f"{results[32].get('discarded_reps', 0)}.\n\n"
             "| cores | docs | rep walls (s) | median wall (s) | docs/sec |\n"
             "|---|---|---|---|---|\n"
             f"| 8 (N) | {results[8]['docs']} | {results[8]['all_secs']} "
