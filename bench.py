@@ -130,11 +130,14 @@ BENCH_REPS = 3  # timed reps per query/flagship; headline = MEDIAN
 # ANN pruning leg (round-3 verdict #6): the partitioned-table probe must be
 # measurably FASTER than the unpartitioned scan, not just proven-correct.
 # sf0.1's embeddings table is 2k rows — far too small to show a scan-vs-prune
-# delta — so the leg synthesizes a deterministic 200k×64 table once (JVM-side
-# expression gen, no Python row loop) and probes both layouts.
+# delta — so the leg synthesizes a deterministic 2M×64 table once (JVM-side
+# expression gen, no Python row loop) and probes both layouts. Round-4
+# verdict #2: at 200k rows per-query fixed costs (~1 s of planning + noop
+# sink) swamped the scan delta (measured 1.5×, claimed ~30×); at 2M the
+# scan term dominates and the measured ratio is the honest pruning story.
 # ---------------------------------------------------------------------------
-ANN_ROOT = "/tmp/spark_graft_bench_ann"
-ANN_N, ANN_DIM, ANN_PLANES = 200_000, 64, 6  # 2^6 = 64 partitions
+ANN_N, ANN_DIM, ANN_PLANES = 2_000_000, 64, 6  # 2^6 = 64 partitions
+ANN_ROOT = f"/tmp/spark_graft_bench_ann_{ANN_N}"
 
 
 def _ann_planes():
@@ -215,6 +218,35 @@ def run_ann_pruning_leg(spark, reps: int) -> dict:
             secs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(secs), 3)
     return timings
+
+
+def run_dedup_job_leg(spark, sf_dir: str, reps: int) -> dict:
+    """Round-4 verdict #7: the chained training-data dedup job
+    (MinHash∪SimHash pairs → connected components → keep → pack) gets a
+    throughput number beside the flagship, not just a correctness test.
+    Times jobs.run_dedup_job end-to-end (including its table writes) over
+    the sf documents table; median of ``reps`` after one warm-up."""
+    import shutil
+    import statistics
+
+    from pdf2pdfocr_spark.jobs import run_dedup_job
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out = "/tmp/spark_graft_bench_dedupjob"
+
+    def _run():
+        shutil.rmtree(out, ignore_errors=True)
+        run_dedup_job(spark, docs, out, "bench-dedup", sample_k=None)
+
+    _run()  # untimed warm-up
+    secs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _run()
+        secs.append(time.perf_counter() - t0)
+    return {"dedup_job": round(statistics.median(secs), 3)}
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +391,7 @@ def main_bench(args) -> None:
 
     timings = run_operator_queries(spark, sf_dir, reps)
     timings.update(run_ann_pruning_leg(spark, reps))
+    timings.update(run_dedup_job_leg(spark, sf_dir, reps))
     run_flagship(spark, args.n_docs)  # untimed warm-up: JIT + Python workers
     flag_secs, n_docs = [], 0
     for _ in range(reps):
@@ -538,9 +571,167 @@ def main_scaling(args) -> None:
                       "probes": probes}))
 
 
+def main_rep_server(args) -> None:
+    """Child of the interleaved campaign: ONE long-lived (optionally
+    taskset-pinned) JVM that warms up twice, prints READY, then runs one
+    flagship rep per 'run' line on stdin — so both cluster sizes stay
+    resident and a rep at either size can start within seconds of the
+    other's finish."""
+    spark = build_session(args.cores)
+    run_flagship(spark, args.n_docs)  # warm-up 1 (also writes the corpus)
+    run_flagship(spark, args.n_docs)  # warm-up 2 (tiered-JIT convergence)
+    print("READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "run":
+            n, dt = run_flagship(spark, args.n_docs)
+            print(json.dumps({"docs": n, "sec": round(dt, 3)}), flush=True)
+        elif cmd == "quit":
+            break
+    spark.stop()
+
+
+def main_scaling_interleaved(args) -> None:
+    """Drift-robust N-vs-4N protocol (round-5): the sequential campaign's
+    weakness — proven across rounds 2-5 — is that the host's effective
+    capacity oscillates on a ~minutes timescale, so a 35-minute 8-core
+    phase and a 32-core phase measured ~45 minutes apart sample DIFFERENT
+    hosts, and the all-or-nothing post-phase probe gate refuses whole
+    phases for drift that arrived after the useful reps. Here the two
+    cluster sizes run as ADJACENT rep pairs from two resident JVMs
+    (local[8] pinned to cores 0-7; local[32] unpinned), alternating pair
+    order to cancel any first-runner bias. Efficiency is the MEDIAN of
+    per-pair ratios eff_i = (tp32_i / tp8_i) / 4 — each ratio is taken
+    over a ~6-minute window in which host capacity is far more correlated
+    than across sequential phases. A pair is accepted only if the three
+    all-cores probes bracketing its two reps agree within 15% (stability
+    gate — RELATIVE, so a slow-but-steady host can still be measured
+    honestly); absolute probe levels vs the ratcheted quiet-host reference
+    are reported alongside so a capacity-capped host is visible, never
+    hidden."""
+    if args.n_docs == BENCH_DOCS:
+        args.n_docs = SCALING_DOCS
+    args.reps = max(args.reps, 5)
+    import statistics
+
+    servers = {}
+
+    def _spawn(cores, pin):
+        cmd = [sys.executable, os.path.abspath(__file__), "--rep-server",
+               "--cores", str(cores), "--n-docs", str(args.n_docs)]
+        if pin and os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", pin] + cmd
+        return subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+
+    # corpus must pre-exist so the two servers don't race to write it
+    if not os.path.exists(f"{corpus_path(args.n_docs)}/_BENCH_READY"):
+        boot = _spawn(32, None)
+        boot.stdin.write("quit\n")
+        boot.stdin.flush()
+        boot.wait(timeout=3600)
+    servers[8] = _spawn(8, "0-7")
+    servers[32] = _spawn(32, None)
+    for cores, srv in servers.items():
+        line = srv.stdout.readline().strip()
+        if line != "READY":
+            raise RuntimeError(f"{cores}c rep server failed: {line!r}")
+
+    def ask(cores):
+        servers[cores].stdin.write("run\n")
+        servers[cores].stdin.flush()
+        return json.loads(servers[cores].stdout.readline())
+
+    pairs, discarded = [], 0
+    attempts = args.reps + 4
+    while len(pairs) < args.reps and attempts > 0:
+        attempts -= 1
+        order = (8, 32) if (len(pairs) + discarded) % 2 == 0 else (32, 8)
+        probes = [probe_host(ratchet=False)]
+        res = {}
+        for cores in order:
+            res[cores] = ask(cores)
+            probes.append(probe_host(ratchet=False))
+        hzs = [p["hz_mt"] for p in probes]
+        stable = max(hzs) / min(hzs) <= 1.15
+        tp8 = res[8]["docs"] / res[8]["sec"]
+        tp32 = res[32]["docs"] / res[32]["sec"]
+        rec = {
+            "order": list(order),
+            "sec8": res[8]["sec"], "sec32": res[32]["sec"],
+            "tp8": round(tp8, 1), "tp32": round(tp32, 1),
+            "eff": round((tp32 / tp8) / 4.0, 3),
+            "probes_hz_mt": hzs, "stable": stable,
+        }
+        if stable:
+            pairs.append(rec)
+        else:
+            discarded += 1
+            print(f"# pair discarded (probe drift {min(hzs)}→{max(hzs)}): "
+                  f"{json.dumps(rec)}", file=sys.stderr)
+    for srv in servers.values():
+        try:
+            srv.stdin.write("quit\n")
+            srv.stdin.flush()
+        except Exception:  # noqa: BLE001
+            pass
+    if not pairs:
+        print(json.dumps({"metric": "scaling_efficiency_interleaved",
+                          "value": None, "unit": "ratio", "queries": {},
+                          "sf": 0, "aborted": "no stable pairs"}))
+        sys.exit(3)
+    eff = statistics.median(p["eff"] for p in pairs)
+    ref = _load_probe_ref()
+    cap_pct = round(
+        100 * statistics.median(
+            h for p in pairs for h in p["probes_hz_mt"]
+        ) / ref["hz_mt"], 1,
+    ) if ref["hz_mt"] else None
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING_INTERLEAVED.md", "w") as f:
+        f.write(
+            "# Interleaved N-vs-4N scaling measurement (drift-robust "
+            "protocol)\n\n"
+            f"Flagship extraction job over the {args.n_docs}-doc "
+            "deterministic corpus; two RESIDENT JVMs (local[8] pinned to "
+            "cores 0-7, local[32] unpinned), each warmed twice; reps run "
+            "as adjacent alternating-order pairs so each per-pair ratio "
+            "eff_i = (tp_4N / tp_N) / 4 samples a ~6-minute window of the "
+            "same host capacity — the sequential protocol's phases sit "
+            "~45 min apart on a host whose capacity oscillates on a "
+            "minutes timescale (see the measurement ledger). A pair "
+            "counts only if the three all-cores probes bracketing its two "
+            "reps agree within 15%.\n\n"
+            "| pair | order | wall8 (s) | wall32 (s) | docs/s 8c | docs/s "
+            "32c | eff | probes (hz_mt) |\n|---|---|---|---|---|---|---|---|\n"
+            + "\n".join(
+                f"| {i+1} | {'→'.join(map(str, p['order']))} | {p['sec8']} "
+                f"| {p['sec32']} | {p['tp8']} | {p['tp32']} | {p['eff']} "
+                f"| {p['probes_hz_mt']} |"
+                for i, p in enumerate(pairs)
+            )
+            + f"\n\n**Median pair efficiency = {eff}** (target ≥ 0.8); "
+            f"pairs discarded for probe drift: {discarded}. Host absolute "
+            f"capacity during the run: median all-cores probe at "
+            f"{cap_pct}% of the ratcheted quiet-host reference "
+            f"({ref['hz_mt']:.0f}/s) — reported so a capacity-capped host "
+            "is visible, never hidden.\n\n"
+            f"Reproduce: `python bench.py --scaling-interleaved --reps "
+            f"{args.reps}`.\n"
+        )
+    print(json.dumps({"metric": "scaling_efficiency_interleaved",
+                      "value": eff, "unit": "ratio", "queries": {}, "sf": 0,
+                      "pairs": pairs, "discarded": discarded,
+                      "host_capacity_pct": cap_pct}))
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--scaling-interleaved", action="store_true")
+    p.add_argument("--rep-server", action="store_true")
     p.add_argument("--corpus-only", action="store_true")
     p.add_argument("--cores", type=int, default=32)
     p.add_argument("--reps", type=int, default=1)
@@ -548,6 +739,10 @@ if __name__ == "__main__":
     a = p.parse_args()
     if a.scaling:
         main_scaling(a)
+    elif a.scaling_interleaved:
+        main_scaling_interleaved(a)
+    elif a.rep_server:
+        main_rep_server(a)
     elif a.corpus_only:
         main_corpus_only(a)
     else:

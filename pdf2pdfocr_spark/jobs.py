@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf2pdfocr_spark import lineage
 from pdf2pdfocr_spark.ocr_engine import OcrConfig
 from pdf2pdfocr_spark.oracle import PipelineConfig
-from pdf2pdfocr_spark.pipeline import StageProgress, build_spark, extract
+from pdf2pdfocr_spark.pipeline import (
+    StageProgress,
+    build_spark,
+    extract,
+    negotiated_merge_route,
+)
 
 
 def run_extraction_job(
@@ -75,6 +80,11 @@ def run_extraction_job(
         "run_id": run_id,
         "n_docs": row["docs"],
         "n_spans": row["spans"],
+        # negotiated per engine capability (reference: merge implementation
+        # chosen from the tool probe, pdf2pdfocr.py:1258-1266) — recorded in
+        # the job result so operators can see which merge plan the
+        # PDF-synthesis sink must apply to this run's geometry
+        "merge_route": negotiated_merge_route(config),
         "progress": progress.snapshot(),
     }
 
@@ -121,13 +131,24 @@ def run_dedup_job(
     from pdf2pdfocr_spark.operators import dedup, sampling
     from pdf2pdfocr_spark.operators.text_analysis import token_count_ws
 
+    # one signature pass per algorithm (round-4 verdict #3): the band/chunk
+    # frames are computed ONCE, persisted, and feed BOTH the capped
+    # candidate join and the overflow ledger — previously every shingle was
+    # hashed twice per algorithm (the two most expensive stages in the job)
+    band_rows = dedup.minhash_band_rows(
+        docs, id_col=id_col, text_col=text_col
+    ).persist()
+    chunk_rows = dedup.simhash_chunk_rows(
+        docs, id_col=id_col, text_col=text_col
+    ).persist()
+
     mh = dedup.minhash_lsh_pairs(
         docs, threshold=threshold, id_col=id_col, text_col=text_col,
-        bucket_cap=bucket_cap,
+        bucket_cap=bucket_cap, band_rows=band_rows,
     ).select("id_a", "id_b")
     sh = dedup.simhash_near_dups(
         docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col,
-        bucket_cap=bucket_cap,
+        bucket_cap=bucket_cap, chunk_rows=chunk_rows,
     ).select("id_a", "id_b")
     pairs = mh.union(sh).distinct().persist()
 
@@ -135,7 +156,12 @@ def run_dedup_job(
     clusters.write.mode("overwrite").parquet(f"{out_path}/clusters")
     clusters = spark.read.parquet(f"{out_path}/clusters")
 
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(id_col)
+    # duplicate_clusters always emits (doc_id, cluster_id) — rename to the
+    # caller's id column so the anti-join resolves for any id_col (ADVICE r4)
+    drop = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
     kept = docs.join(drop, id_col, "left_anti")
     kept = kept.withColumn("n_tokens", token_count_ws(F.col(text_col)))
 
@@ -153,13 +179,17 @@ def run_dedup_job(
     shards = spark.read.parquet(f"{out_path}/shards")
 
     mh_over = dedup.minhash_band_overflow(
-        docs, id_col=id_col, text_col=text_col, bucket_cap=bucket_cap
+        docs, id_col=id_col, text_col=text_col, bucket_cap=bucket_cap,
+        band_rows=band_rows,
     )
     sh_over = dedup.simhash_chunk_overflow(
-        docs, id_col=id_col, text_col=text_col, bucket_cap=bucket_cap
+        docs, id_col=id_col, text_col=text_col, bucket_cap=bucket_cap,
+        chunk_rows=chunk_rows,
     )
     mh_over.write.mode("overwrite").parquet(f"{out_path}/ledgers/minhash_overflow")
     sh_over.write.mode("overwrite").parquet(f"{out_path}/ledgers/simhash_overflow")
+    band_rows.unpersist()
+    chunk_rows.unpersist()
 
     # derived counts avoid recomputing the upstream frames: kept = in −
     # dropped (drop ⊆ docs, ids unique); sampled = shard rows (every

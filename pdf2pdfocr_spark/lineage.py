@@ -72,6 +72,58 @@ def _done_table(out_path: str) -> str:
     return "done_ids_" + hashlib.md5(out_path.encode()).hexdigest()[:12]
 
 
+def _list_spans_run_ids(spark: SparkSession, out_path: str) -> list[str]:
+    """run_ids with a landed spans partition, from ONE filesystem listing of
+    the spans root (O(#runs) dirs — never a file-level or data scan). Uses
+    the Hadoop FS API so it works on HDFS/S3A exactly like local paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_path}/spans")
+    try:
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return []
+        return [
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(path)
+            if st.isDirectory() and st.getPath().getName().startswith("run_id=")
+        ]
+    except Exception:  # noqa: BLE001 — unreadable root: treat as no runs
+        return []
+
+
+def _check_spans_layout(spark: SparkSession, out_path: str) -> None:
+    """Refuse to append into a pre-round-4 checkpoint dir (ADVICE r4
+    medium): spans used to be partitioned by doc_bucket only; mixing
+    ``doc_bucket=*`` and ``run_id=*`` dirs under one root breaks Spark
+    partition discovery (conflicting partition columns) for every later
+    read. Legacy checkpoints stay READABLE through the done_doc_ids
+    fallback — they just can't be appended to in place; re-point the job at
+    a fresh out_path (or rewrite the old spans through write_checkpointed
+    once) to migrate."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_path}/spans")
+    try:
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return
+        legacy = [
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("doc_bucket=")
+        ]
+    except Exception:  # noqa: BLE001 — unreadable root: let the write fail
+        return
+    if legacy:
+        raise RuntimeError(
+            f"{out_path}/spans holds a legacy doc_bucket-partitioned layout "
+            f"({legacy[0]}, ...); appending (run_id, doc_bucket) partitions "
+            "into it would corrupt partition discovery for the whole table. "
+            "Point the job at a fresh --output (old spans stay readable via "
+            "read_output/done_doc_ids) or migrate the directory first."
+        )
+
+
 def write_checkpointed(
     processed: DataFrame,
     quarantine: DataFrame,
@@ -89,13 +141,23 @@ def write_checkpointed(
       done-set used to scan the doc_id column of EVERYTHING ever written
       (terabytes per re-submission at 10^12 docs); the compact table is
       O(done-set) and its bucketing feeds the left-anti resume join without
-      shuffling the done side.
+      shuffling the done side. Derived from the LANDED spans partition, NOT
+      the in-flight frame (ADVICE r4 high (b)): a cache-loss recompute with
+      timing-dependent quarantine could otherwise mark a doc done whose
+      spans never landed, permanently skipping it on resume.
+    * runs_committed: one (run_id) marker row appended only AFTER done_ids
+      lands — the commit record ``done_doc_ids`` uses to reconcile a crash
+      between the spans append and the done_ids append (ADVICE r4 high
+      (a)): a spans run partition with no marker is re-scanned into the
+      done-set, so a killed run can neither double-append nor drop docs.
     * lineage: aggregated from the LANDED spans partition read back for this
       run (O(this run)) — faithful to committed data even if the in-flight
       frame's cache was lost and would recompute differently (ADVICE r3).
     """
     from pdf2pdfocr_spark.sources.readers import write_bucketed_table
 
+    spark = processed.sparkSession
+    _check_spans_layout(spark, out_path)
     out = with_bucket(processed, buckets).withColumn("run_id", F.lit(run_id))
     out.write.mode("append").partitionBy("run_id", "doc_bucket").parquet(
         f"{out_path}/spans"
@@ -104,45 +166,84 @@ def write_checkpointed(
     q = quarantine.withColumn("run_id", F.lit(run_id))
     q.write.mode("append").parquet(f"{out_path}/quarantine")
 
-    spark = processed.sparkSession
+    try:
+        landed = landed_run(spark, out_path, run_id)
+    except Exception:  # noqa: BLE001 — zero rows landed: no partition dir
+        landed = out.limit(0)
     write_bucketed_table(
-        out.select("doc_id"),
+        landed.select("doc_id").distinct(),
         _done_table(out_path),
         f"{out_path}/done_ids",
         buckets=buckets,
         mode="append",
     )
-
-    try:
-        landed = landed_run(spark, out_path, run_id)
-    except Exception:  # noqa: BLE001 — zero rows landed: no partition dir
-        landed = out.limit(0)
+    # commit marker LAST: its presence certifies done_ids covers this run
+    spark.createDataFrame([(run_id,)], "run_id string").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{out_path}/runs_committed")
     lineage_summary(landed).write.mode("append").parquet(f"{out_path}/lineage")
+
+
+def _uncommitted_run_ids(spark: SparkSession, out_path: str) -> list[str]:
+    """spans run partitions with no runs_committed marker — the window left
+    by a kill between the spans append and the done_ids append."""
+    landed_runs = _list_spans_run_ids(spark, out_path)
+    if not landed_runs:
+        return []
+    try:
+        committed = {
+            r["run_id"]
+            for r in spark.read.parquet(f"{out_path}/runs_committed")
+            .select("run_id").distinct().collect()
+        }
+    except Exception:  # noqa: BLE001 — no marker table yet
+        committed = set()
+    return sorted(set(landed_runs) - committed)
 
 
 def done_doc_ids(spark: SparkSession, out_path: str) -> DataFrame | None:
     """doc_ids already committed. Prefers the compact bucketed done_ids
     table (O(done-set) scan; bucket metadata lets the resume anti-join skip
-    shuffling this side — tests/test_lineage_resume.py asserts both). Falls
-    back to the raw done_ids parquet (no metastore entry — e.g. a fresh
-    session against an existing checkpoint dir), then to the legacy
-    spans-table column scan, then None on a first run. No ``.distinct()``
-    on the compact paths: doc_ids are written at most once (resume filters
-    re-runs), and left-anti semantics are dup-insensitive anyway."""
+    shuffling this side — tests/test_lineage_resume.py asserts both),
+    UNIONED with a scan of any spans run partition missing its
+    runs_committed marker (ADVICE r4 high (a): a run killed between the
+    spans append and the done_ids append has landed spans the compact table
+    doesn't know about — re-processing those docs would double-append).
+    The reconcile scan is O(uncommitted runs), i.e. zero partitions on
+    every healthy resume. Falls back to the raw done_ids parquet (no
+    metastore entry — e.g. a fresh session against an existing checkpoint
+    dir), then to the legacy spans-table column scan, then None on a first
+    run. No ``.distinct()`` on the compact paths: doc_ids are written at
+    most once per run (resume filters re-runs), and left-anti semantics are
+    dup-insensitive anyway."""
+    base = None
     tbl = _done_table(out_path)
     try:
         if spark.catalog.tableExists(tbl):
-            return spark.table(tbl).select("doc_id")
+            base = spark.table(tbl).select("doc_id")
     except Exception:  # noqa: BLE001 — metastore hiccup: fall through
         pass
-    try:
-        return spark.read.parquet(f"{out_path}/done_ids").select("doc_id")
-    except Exception:  # noqa: BLE001 — pre-compact-table checkpoint layout
-        pass
-    try:
-        return spark.read.parquet(f"{out_path}/spans").select("doc_id").distinct()
-    except Exception:  # noqa: BLE001 — first run: no checkpoint yet
-        return None
+    if base is None:
+        try:
+            base = spark.read.parquet(f"{out_path}/done_ids").select("doc_id")
+        except Exception:  # noqa: BLE001 — pre-compact-table layout
+            pass
+    if base is None:
+        try:
+            return (
+                spark.read.parquet(f"{out_path}/spans")
+                .select("doc_id").distinct()
+            )
+        except Exception:  # noqa: BLE001 — first run: no checkpoint yet
+            return None
+    for rid in _uncommitted_run_ids(spark, out_path):
+        try:
+            base = base.unionByName(
+                landed_run(spark, out_path, rid).select("doc_id").distinct()
+            )
+        except Exception:  # noqa: BLE001 — partition vanished mid-listing
+            pass
+    return base
 
 
 def resume_filter(docs: DataFrame, out_path: str) -> DataFrame:

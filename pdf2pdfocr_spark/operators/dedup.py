@@ -278,6 +278,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int = 1000,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified by exact shingle Jaccard.
 
@@ -292,8 +293,15 @@ def minhash_lsh_pairs(
     Verification joins back to shingle sets — the cap changes which pairs
     are surfaced, never their exact Jaccard scores.
     Output: (id_a, id_b, jaccard ≥ threshold).
+
+    ``band_rows``: pass a (persisted) ``minhash_band_rows`` frame to share
+    ONE signature computation with ``minhash_band_overflow`` (round-4
+    verdict #3: the chained dedup job used to hash every shingle twice).
     """
-    band_rows = minhash_band_rows(docs, num_hashes, bands, n, id_col, text_col)
+    if band_rows is None:
+        band_rows = minhash_band_rows(
+            docs, num_hashes, bands, n, id_col, text_col
+        )
     capped = _cap_buckets(band_rows, ["band", "sig"], bucket_cap)
     cand = (
         capped.alias("a")
@@ -332,11 +340,16 @@ def minhash_band_overflow(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int = 1000,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Which (band, sig) buckets exceeded ``bucket_cap`` (and by how much)
     for the corresponding minhash_lsh_pairs call — the visibility half of
-    the no-silent-caps convention."""
-    band_rows = minhash_band_rows(docs, num_hashes, bands, n, id_col, text_col)
+    the no-silent-caps convention. Pass the same ``band_rows`` frame given
+    to ``minhash_lsh_pairs`` to avoid recomputing signatures."""
+    if band_rows is None:
+        band_rows = minhash_band_rows(
+            docs, num_hashes, bands, n, id_col, text_col
+        )
     return bucket_overflow(band_rows, ["band", "sig"], bucket_cap)
 
 
@@ -396,7 +409,8 @@ def simhash_chunk_rows(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
 
 def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
-                      bucket_cap: int = 1000) -> DataFrame:
+                      bucket_cap: int = 1000,
+                      chunk_rows: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
     generated by banding the fingerprint into (max_hamming+1) chunks — by
     pigeonhole, any pair within distance d shares ≥1 identical chunk.
@@ -406,8 +420,15 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
     (bits/(d+1), 8 bits at the defaults), so degenerate buckets are likely
     even on benign corpora, and identical docs share ALL chunks → k² join
     rows without the cap. ``simhash_chunk_overflow`` surfaces cut buckets;
-    the exact Hamming verification below the cap is untouched."""
-    chunks = simhash_chunk_rows(docs, bits, max_hamming, id_col, text_col)
+    the exact Hamming verification below the cap is untouched.
+
+    ``chunk_rows``: pass a (persisted) ``simhash_chunk_rows`` frame to
+    share ONE fingerprint computation with ``simhash_chunk_overflow``."""
+    chunks = (
+        chunk_rows
+        if chunk_rows is not None
+        else simhash_chunk_rows(docs, bits, max_hamming, id_col, text_col)
+    )
     capped = _cap_buckets(chunks, ["chunk", "val"], bucket_cap)
     cand = (
         capped.alias("a")
@@ -553,10 +574,17 @@ def keep_cluster_representatives(
 def simhash_chunk_overflow(docs: DataFrame, bits: int = 32,
                            max_hamming: int = 3, id_col: str = "doc_id",
                            text_col: str = "text",
-                           bucket_cap: int = 1000) -> DataFrame:
+                           bucket_cap: int = 1000,
+                           chunk_rows: DataFrame | None = None) -> DataFrame:
     """Which (chunk, val) buckets exceeded ``bucket_cap`` for the
-    corresponding simhash_near_dups call."""
-    chunks = simhash_chunk_rows(docs, bits, max_hamming, id_col, text_col)
+    corresponding simhash_near_dups call. Pass the same ``chunk_rows``
+    frame given to ``simhash_near_dups`` to avoid recomputing
+    fingerprints."""
+    chunks = (
+        chunk_rows
+        if chunk_rows is not None
+        else simhash_chunk_rows(docs, bits, max_hamming, id_col, text_col)
+    )
     return bucket_overflow(
         chunks.select("doc_id", "chunk", "val"), ["chunk", "val"], bucket_cap
     )

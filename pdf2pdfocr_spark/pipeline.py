@@ -69,9 +69,17 @@ def sorted_by_offset(arr: Column) -> Column:
 def probe_text_layer(docs: DataFrame) -> DataFrame:
     """S4: does the document already have a text layer? The reference shells
     to pdffonts (pdf2pdfocr.py:1215-1227); here the span schema makes it an
-    array predicate."""
+    array predicate.
+
+    Written field-extraction-first (``spans.kind`` → array_contains) rather
+    than ``exists`` over the struct lambda: extracting the field BEFORE the
+    array op lets nested-schema pruning narrow the parquet ReadSchema to
+    ``spans:array<struct<kind>>`` — a metadata-only probe over the 100 TB
+    corpus then never reads span text / media payload bytes (round-4
+    verdict #4; plan-asserted in tests/test_sources.py)."""
     return docs.withColumn(
-        "has_text", F.exists(SPAN(), lambda s: s["kind"] == F.lit("text"))
+        "has_text",
+        F.array_contains(F.col("spans").getField("kind"), "text"),
     )
 
 
@@ -105,7 +113,11 @@ def apply_gates(
         != F.size(F.array_distinct(F.transform(SPAN(), lambda s: s["offset"])))
     )
     encrypted = F.coalesce(F.col("meta")["encrypted"] == "true", F.lit(False))
-    n_pages = F.size(F.filter(SPAN(), lambda s: s["kind"] == F.lit("image")))
+    # field-extraction-first for the same pruning reason as probe_text_layer:
+    # a max-pages-only scan reads spans.kind alone
+    n_pages = F.size(
+        F.filter(F.col("spans").getField("kind"), lambda k: k == F.lit("image"))
+    )
     df = df.withColumn("n_pages", n_pages).withColumn("encrypted", encrypted)
     # rebuild branch flag (check_rebuild_pdf, pdf2pdfocr.py:762-767):
     # encrypted | non-pdf | use_deskew_mode(-d) | force(-f) — flag-driven
@@ -278,6 +290,17 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
         call = engine.ocr_page_with_repair
         if ocr_cfg.page_timeout_s:
             call = _watchdog_call(call, engine, ocr_cfg.page_timeout_s)
+        # X5 doc budget ENFORCEMENT (ADVICE r4): cumulative per-doc OCR wall
+        # within this task — once a doc's pages have burned the whole
+        # --timeout budget, its remaining pages here are skipped (error row,
+        # no engine call), matching the reference killing the document at
+        # the budget (pdf2pdfocr.py:1511-1528) instead of letting N
+        # individually-fast pages run N×budget. The dict is task-local, so
+        # a salted doc can burn at most salt_buckets×budget across the
+        # cluster (bounded and page-count-independent); the reassembly-side
+        # doc_wall_s check still quarantines exactly at the budget.
+        doc_budget = ocr_cfg.doc_timeout_s
+        doc_elapsed: dict = {}
 
         import time as _time
 
@@ -296,8 +319,22 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                 out["page_w_pt"] = [None] * n
                 out["page_h_pt"] = [None] * n
                 del out["words"]
+            # doc_id list materialized ONLY under a doc budget — the
+            # default path pays zero per-page cost for the enforcement
+            batch_doc_ids = (
+                pdf["doc_id"].tolist() if doc_budget is not None else None
+            )
             for i, ref in enumerate(pdf["media_ref"]):
                 _t0 = _time.perf_counter()
+                if (
+                    batch_doc_ids is not None
+                    and doc_elapsed.get(batch_doc_ids[i], 0.0) >= doc_budget
+                ):
+                    out["error"][i] = (
+                        f"doc_timeout: budget {doc_budget}s exhausted "
+                        "before page ran (remaining pages cancelled)"
+                    )
+                    continue
                 try:
                     payload = PagePayload.from_ref(ref)
                     res = call(payload)
@@ -326,6 +363,11 @@ def run_ocr(pages: DataFrame, config: PipelineConfig,
                     out["error"][i] = f"{type(exc).__name__}: {exc}"
                 finally:
                     out["wall_s"][i] = _time.perf_counter() - _t0
+                    if batch_doc_ids is not None:
+                        _did = batch_doc_ids[i]
+                        doc_elapsed[_did] = (
+                            doc_elapsed.get(_did, 0.0) + out["wall_s"][i]
+                        )
             if acc is not None:  # O5 live progress, per Arrow batch
                 n_err = sum(1 for e in out["error"] if e is not None)
                 acc["ocr_pages_in"].add(n)
@@ -493,6 +535,26 @@ def reassemble(
 # full pipeline
 # --------------------------------------------------------------------------
 
+def negotiated_merge_route(config: PipelineConfig) -> str:
+    """R3/R4 selection by engine capability — the reference picks its merge
+    implementation from the tool probe (pdf2pdfocr.py:1258-1266: tesseract
+    ≥3.05.01 emits a text-only PDF → qpdf sandwich underlay/overlay at
+    643-651; otherwise the multibackground merge script runs,
+    pdf2pdfocr_multibackground.py). Here the same gate drives which merge
+    plan the PDF-synthesis sink applies to the geometry output:
+
+    * ``sandwich_textonly`` — overlay the invisible-text layer (R3 span
+      interleave + H7 render geometry);
+    * ``multibackground``   — image-under-text merge math
+      (functions/merge.multibackground_merge_plan, R4);
+    * ``none``              — no-OCR passthrough (O3).
+    """
+    if config.ocr.engine == "no_ocr":
+        return "none"
+    caps = get_engine(config.ocr).capabilities()
+    return "sandwich_textonly" if caps.get("textonly_pdf") else "multibackground"
+
+
 def extract(
     docs: DataFrame,
     config: PipelineConfig | None = None,
@@ -512,8 +574,10 @@ def extract(
         # the whole document's budget (nor past an explicit tighter page
         # wall), so a pathological page is killed+cancelled at the budget
         # instead of consuming unbounded OCR wall-clock. A doc of many
-        # individually-fast pages still completes and then quarantines —
-        # that residual accounting semantic stays documented.
+        # individually-fast pages is bounded too (ADVICE r4): run_ocr
+        # tracks cumulative per-doc wall per task and cancels the doc's
+        # remaining pages once the budget is exhausted, so worst-case
+        # spend is salt_buckets times budget, not n_pages times budget.
         import dataclasses
 
         budget = float(config.ocr.doc_timeout_s)

@@ -25,15 +25,41 @@ MAGIC = {
 }
 
 
+def _is_missing_iceberg_support(exc: Exception) -> bool:
+    """True only when the failure means the Iceberg DataSource isn't on the
+    classpath (no jars in the sandbox) — NOT a real read error. Spark
+    surfaces a missing format as ClassNotFoundException /
+    DATA_SOURCE_NOT_FOUND; anything else (bad path, corrupt metadata,
+    permission denied) must propagate, or 'auto' silently misreads an
+    Iceberg table's data/ dir as bare parquet (round-4 verdict #6)."""
+    markers = (
+        "classnotfoundexception",
+        "data_source_not_found",
+        "failed to find data source: iceberg",
+        "failed to find the data source: iceberg",
+    )
+    seen = set()
+    while exc is not None and id(exc) not in seen:
+        seen.add(id(exc))
+        msg = f"{type(exc).__name__}: {exc}".lower()
+        if any(m in msg for m in markers):
+            return True
+        exc = exc.__cause__ or exc.__context__
+    return False
+
+
 def read_documents(spark: SparkSession, path: str, table_format: str = "auto") -> DataFrame:
-    """S1 corpus scan. ``table_format``: 'iceberg' | 'parquet' | 'auto'."""
+    """S1 corpus scan. ``table_format``: 'iceberg' | 'parquet' | 'auto'.
+    'auto' falls back to parquet ONLY when Iceberg support itself is absent
+    (class-not-found); real read failures re-raise."""
     if table_format == "iceberg":
         return spark.read.format("iceberg").load(path)
     if table_format == "auto":
         try:
             return spark.read.format("iceberg").load(path)
-        except Exception:  # noqa: BLE001 — no Iceberg jars in sandbox
-            pass
+        except Exception as exc:  # noqa: BLE001 — inspect, don't swallow
+            if not _is_missing_iceberg_support(exc):
+                raise
     return spark.read.parquet(path)
 
 

@@ -113,6 +113,71 @@ def test_dedup_job_stratified_sampling(spark, tmp_path):
     assert per and all(n <= 2 for n in per.values())
 
 
+def test_dedup_job_custom_id_col(spark, tmp_path):
+    """ADVICE r4: id_col != 'doc_id' must work end-to-end — the clusters
+    frame always emits (doc_id, cluster_id), renamed before the keep-one
+    anti-join."""
+    out = str(tmp_path / "dedup_idcol_out")
+    docs = _fixture_docs(spark).withColumnRenamed("doc_id", "docid")
+    metrics = jobs.run_dedup_job(
+        spark, docs, out, "run-d3", id_col="docid",
+        shard_budget=60, shard_buckets=2,
+    )
+    assert metrics["docs_kept"] == 8
+    kept = sorted(
+        r["docid"] for r in spark.read.parquet(f"{out}/shards").collect()
+    )
+    assert kept == [1, 10, 20, 21, 22, 23, 24, 25]
+
+
+def test_dedup_job_single_signature_pass(spark, tmp_path, monkeypatch):
+    """Round-4 verdict #3: the job computes each signature frame (minhash
+    bands / simhash chunks — the two most expensive stages) exactly ONCE,
+    shared between the capped candidate join and its overflow ledger."""
+    from pdf2pdfocr_spark.operators import dedup as d
+
+    calls = {"band": 0, "chunk": 0}
+    orig_band, orig_chunk = d.minhash_band_rows, d.simhash_chunk_rows
+
+    def band_spy(*a, **k):
+        calls["band"] += 1
+        return orig_band(*a, **k)
+
+    def chunk_spy(*a, **k):
+        calls["chunk"] += 1
+        return orig_chunk(*a, **k)
+
+    monkeypatch.setattr(d, "minhash_band_rows", band_spy)
+    monkeypatch.setattr(d, "simhash_chunk_rows", chunk_spy)
+    jobs.run_dedup_job(
+        spark, _fixture_docs(spark), str(tmp_path / "o"), "run-sp",
+        shard_budget=60, shard_buckets=2,
+    )
+    assert calls == {"band": 1, "chunk": 1}
+
+
+def test_overflow_reuses_persisted_signature_frame(spark):
+    """Plan-level half of the single-pass contract: an overflow ledger fed
+    the persisted signature frame reads the cache (InMemoryTableScan), not
+    a fresh source scan + re-hash."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pdf2pdfocr_spark.operators import dedup as d
+
+    docs = _fixture_docs(spark)
+    band = d.minhash_band_rows(docs).persist()
+    try:
+        band.count()  # materialize the cache
+        over = d.minhash_band_overflow(docs, band_rows=band, bucket_cap=1)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            over.explain("formatted")
+        assert "InMemoryTableScan" in buf.getvalue()
+    finally:
+        band.unpersist()
+
+
 def test_dedup_job_cli(spark, tmp_path):
     """--job dedup drives the chained flow through the spark-submit CLI."""
     inp = str(tmp_path / "docs_in")

@@ -141,6 +141,76 @@ def test_resume_anti_join_zero_exchange_on_done_side(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_resume_input")
 
 
+def test_crash_between_spans_and_done_ids_reconciles(spark, tmp_path):
+    """ADVICE r4 (high): a run killed AFTER its spans append but BEFORE its
+    done_ids append must neither double-append on re-submission nor drop
+    docs — done_doc_ids reconciles spans run partitions that are missing
+    their runs_committed marker back into the done set."""
+    docs = corpus.synth_documents(26)
+    out = str(tmp_path / "out")
+    _run(spark, docs[:13], out, run_id="run-001")  # healthy first run
+
+    # simulate the kill window: the second run's SPANS land, but neither
+    # done_ids nor the runs_committed marker were written
+    df = corpus.corpus_df(spark, docs[13:20])
+    df = lineage.resume_filter(df, out)
+    processed, _q = extract(df, PipelineConfig())
+    killed = lineage.with_bucket(processed, 64).withColumn(
+        "run_id", F.lit("run-killed")
+    )
+    killed.write.mode("append").partitionBy("run_id", "doc_bucket").parquet(
+        f"{out}/spans"
+    )
+
+    # reconciled done set covers EVERYTHING landed, marker or not
+    done = lineage.done_doc_ids(spark, out)
+    landed = lineage.read_output(spark, out)
+    assert done.count() == landed.select("doc_id").distinct().count()
+
+    # resume over the full corpus: identical to one uninterrupted run,
+    # with no doc processed twice
+    _run(spark, docs, out, run_id="run-resume")
+    dup = (
+        lineage.read_output(spark, out)
+        .groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    full = str(tmp_path / "full")
+    _run(spark, docs, full, run_id="run-solo")
+    a = {r["doc_id"]: r["spans"] for r in lineage.read_output(spark, out).collect()}
+    b = {r["doc_id"]: r["spans"] for r in lineage.read_output(spark, full).collect()}
+    assert a == b
+
+
+def test_runs_committed_marker_written_after_done_ids(spark, tmp_path):
+    """The commit marker certifies done_ids covers the run — present after
+    a healthy write, and exactly one row per run."""
+    docs = corpus.synth_documents(6)
+    out = str(tmp_path / "out")
+    _run(spark, docs, out, run_id="run-1")
+    _run(spark, docs, out, run_id="run-2")  # no-op resume, still marks
+    marks = sorted(
+        r["run_id"]
+        for r in spark.read.parquet(f"{out}/runs_committed").collect()
+    )
+    assert marks == ["run-1", "run-2"]
+
+
+def test_legacy_spans_layout_refused(spark, tmp_path):
+    """ADVICE r4 (medium): appending (run_id, doc_bucket) partitions into a
+    pre-round-4 doc_bucket-only spans dir would corrupt partition discovery
+    for every later read — write_checkpointed refuses with a migration
+    message instead of mixing the layouts."""
+    import pytest
+
+    out = str(tmp_path / "legacy")
+    (tmp_path / "legacy" / "spans" / "doc_bucket=0").mkdir(parents=True)
+    docs = corpus.synth_documents(4)
+    processed, quarantine = extract(corpus.corpus_df(spark, docs), PipelineConfig())
+    with pytest.raises(RuntimeError, match="legacy doc_bucket-partitioned"):
+        lineage.write_checkpointed(processed, quarantine, out, "run-1")
+
+
 def test_metrics_rerun_same_run_id_overwrites(spark, tmp_path):
     """ADVICE: re-running a job with the same run_id must not double-append
     metrics rows — the run's partition is dynamically overwritten."""

@@ -42,13 +42,29 @@ def test_oracle_invariants(seed):
                 assert s["media_ref"] == ""
             else:
                 assert s["text"] == ""
-        # every input image span survives (count preserved)
-        in_imgs = [s["media_ref"] for s in doc["spans"] if s["kind"] == "image"]
+        # every input image span survives, modulo the DOCUMENTED R5 rewrite
+        # (hypothesis-found seed 4308: an encrypted doc takes the rebuild
+        # branch, and a Group4 preset re-renders non-blank pages to bilevel
+        # — colors→2 — exactly as rebuild_and_merge's preset table does,
+        # pdf2pdfocr.py:834-838; the old invariant demanded byte-equality)
+        import re
+
+        def expected_ref(m):
+            if (
+                r["rebuild"]
+                and r["preset"] in oracle.GROUP4_PRESETS
+                and "colors=1;" not in m
+            ):
+                return re.sub(r"colors=\d+", "colors=2", m)
+            return m
+
+        in_imgs = [
+            expected_ref(s["media_ref"])
+            for s in sorted(doc["spans"], key=lambda s: s["offset"])
+            if s["kind"] == "image"
+        ]
         out_imgs = [s["media_ref"] for s in spans if s["kind"] == "image"]
-        assert out_imgs == sorted(
-            in_imgs,
-            key=lambda m: [s["offset"] for s in doc["spans"] if s["media_ref"] == m][0],
-        ) or sorted(out_imgs) == sorted(in_imgs)
+        assert out_imgs == in_imgs or sorted(out_imgs) == sorted(in_imgs)
         # determinism
         again = oracle.extract_document(doc, PipelineConfig())
         assert oracle.span_tuples(again["spans"]) == oracle.span_tuples(spans)

@@ -119,3 +119,83 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_docs")
         spark.sql("DROP TABLE IF EXISTS bk_done")
+
+
+def test_missing_iceberg_support_classifier():
+    """Round-4 verdict #6: only a missing-DataSource failure (no Iceberg
+    jars) may trigger the parquet fallback of read_documents('auto')."""
+    e1 = Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find the data source: iceberg."
+    )
+    assert readers._is_missing_iceberg_support(e1)
+    e2 = Exception("java.lang.ClassNotFoundException: iceberg.DefaultSource")
+    assert readers._is_missing_iceberg_support(e2)
+    chained = Exception("query failed")
+    chained.__cause__ = e2
+    assert readers._is_missing_iceberg_support(chained)
+    e3 = Exception("[PATH_NOT_FOUND] Path does not exist: file:/nope")
+    assert not readers._is_missing_iceberg_support(e3)
+    e4 = Exception("org.apache.iceberg.exceptions.ValidationException: bad metadata")
+    assert not readers._is_missing_iceberg_support(e4)
+
+
+def test_read_documents_auto_reraises_real_errors(spark, tmp_path, monkeypatch):
+    """'auto' falls back to parquet when Iceberg support is absent (the
+    sandbox), but a REAL read error must re-raise instead of silently
+    misreading the table dir as bare parquet."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    spark.range(3).toDF("doc_id").write.parquet(p)
+    # sandbox has no Iceberg jars: classifier sees missing-support → parquet
+    assert readers.read_documents(spark, p).count() == 3
+    # same failure reclassified as a real error → must propagate
+    monkeypatch.setattr(readers, "_is_missing_iceberg_support", lambda exc: False)
+    with pytest.raises(Exception):
+        readers.read_documents(spark, p, table_format="auto")
+
+
+def test_nested_schema_pruning_on_metadata_probe(spark, tmp_path):
+    """Round-4 verdict #4: the 100 TB scan-cost lever. A kind-only metadata
+    query (the S4 text probe / F2 page-count gate) over the span corpus
+    must reach the parquet scan with a PRUNED ReadSchema — spans.text and
+    spans.media_ref (the document payload, ~all the bytes) never read."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pdf2pdfocr_spark.pipeline import probe_text_layer
+
+    path = str(tmp_path / "corpus")
+    corpus.corpus_df(spark, corpus.synth_documents(8)).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    probe = probe_text_layer(docs).select("doc_id", "has_text")
+    n_pages = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.col("spans").getField("kind"), lambda k: k == F.lit("image")
+            )
+        ).alias("n_pages"),
+    )
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        for df in (probe, n_pages):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            read_schema = [
+                ln for ln in plan.splitlines() if "ReadSchema" in ln
+            ]
+            assert read_schema, plan
+            line = read_schema[0]
+            assert "kind" in line, line
+            assert "media_ref" not in line, f"payload column read: {line}"
+            assert "text" not in line.replace("has_text", ""), (
+                f"span text read: {line}"
+            )
+            df.count()  # the pruned plan actually executes
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
