@@ -530,6 +530,17 @@ def main_scaling(args) -> None:
     tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
     eff = round((tp32 / tp8) / 4.0, 3)
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the measurement-ledger history (## ... ledger sections):
+    # the headline block is replaced, the honesty log survives campaigns
+    ledger = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        idx = prev.find("## Round-")
+        if idx >= 0:
+            ledger = "\n" + prev[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling measurement (sandbox protocol)\n\n"
@@ -564,6 +575,7 @@ def main_scaling(args) -> None:
             f"**Scaling efficiency = (throughput_4N / throughput_N) / 4 = {eff}**"
             f" (target ≥ 0.8)\n\n"
             f"Reproduce: `python bench.py --scaling --reps {args.reps}`.\n"
+            + ledger
         )
     print(json.dumps({"metric": "scaling_efficiency", "value": eff,
                       "unit": "ratio", "queries": {}, "sf": 0,
