@@ -199,3 +199,28 @@ def test_nested_schema_pruning_on_metadata_probe(spark, tmp_path):
             df.count()  # the pruned plan actually executes
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def test_flagship_plan_has_exactly_three_exchanges(spark, tmp_path):
+    """SCALE.md's shuffle inventory, plan-PINNED (round 5): the production
+    extract path shuffles exactly three times — salted page repartition
+    (X2), groupBy(doc_id) reassembly (R1), and the doc-side reassembly
+    join (R3; Broadcast at this scale, SMJ+AQE-skew at 100 TB). Gates,
+    probe, payload decode and span emission must add ZERO exchanges — a
+    fourth Exchange appearing here is a scale regression."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "plan_corpus")
+    corpus.corpus_df(spark, corpus.synth_documents(30)).write.parquet(path)
+    processed, _q = extract(spark.read.parquet(path), PipelineConfig())
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        processed.explain("formatted")
+    exchanges = [
+        ln.strip()
+        for ln in buf.getvalue().splitlines()
+        if re.match(r"^\(\d+\) (Exchange|BroadcastExchange)", ln.strip())
+    ]
+    assert len(exchanges) == 3, exchanges
