@@ -656,18 +656,47 @@ def main_scaling_interleaved(args) -> None:
         servers[cores].stdin.flush()
         return json.loads(servers[cores].stdout.readline())
 
-    pairs, discarded = [], 0
-    attempts = args.reps + 4
+    # quiet-window gating (round-6): rounds 2-5 proved the job's quiet-host
+    # efficiency (0.824 r2, 0.905 near-quiet pair r5) but the on-HEAD
+    # campaigns kept landing on an 85-90%-capacity host, where co-tenant
+    # load structurally biases the ratio AGAINST the 32c leg (the pinned
+    # local[8] keeps cores 0-7 busy, so the kernel migrates co-tenant
+    # threads onto 8-31 during the 8c rep — the 8c leg dodges load the 32c
+    # leg must absorb). With --quiet-gate P, a pair STARTS only when the
+    # all-cores probe reads ≥ P% of the ratcheted quiet-host reference and
+    # COUNTS only if every bracketing probe stays ≥ P% (plus the 15%
+    # relative-stability gate); the campaign polls until --budget-min
+    # expires, then reports however many quiet pairs it caught.
+    pairs, discarded, waits = [], 0, 0
+    gate = (args.quiet_gate or 0) / 100.0
+    budget_s = (args.budget_min * 60) if args.budget_min else None
+    t_start = time.time()
+    attempts = args.reps + 4 if budget_s is None else 10**9
     while len(pairs) < args.reps and attempts > 0:
+        if budget_s is not None and time.time() - t_start > budget_s:
+            print(f"# budget exhausted after {waits} waits, "
+                  f"{len(pairs)} quiet pairs", file=sys.stderr)
+            break
+        pre = probe_host(ratchet=False)
+        if gate and pre["hz_mt"] < gate * pre["ref_hz_mt"]:
+            waits += 1
+            if waits % 10 == 1:
+                print(f"# waiting for quiet window: probe {pre['hz_mt']}/s "
+                      f"= {100 * pre['hz_mt'] / pre['ref_hz_mt']:.1f}% of "
+                      f"ref (gate {args.quiet_gate}%)", file=sys.stderr)
+            time.sleep(25)
+            continue
         attempts -= 1
         order = (8, 32) if (len(pairs) + discarded) % 2 == 0 else (32, 8)
-        probes = [probe_host(ratchet=False)]
+        probes = [pre]
         res = {}
         for cores in order:
             res[cores] = ask(cores)
             probes.append(probe_host(ratchet=False))
         hzs = [p["hz_mt"] for p in probes]
+        ref_hz_mt = probes[-1]["ref_hz_mt"]
         stable = max(hzs) / min(hzs) <= 1.15
+        quiet = (not gate) or all(h >= gate * ref_hz_mt for h in hzs)
         tp8 = res[8]["docs"] / res[8]["sec"]
         tp32 = res[32]["docs"] / res[32]["sec"]
         rec = {
@@ -676,12 +705,16 @@ def main_scaling_interleaved(args) -> None:
             "tp8": round(tp8, 1), "tp32": round(tp32, 1),
             "eff": round((tp32 / tp8) / 4.0, 3),
             "probes_hz_mt": hzs, "stable": stable,
+            "cap_pct": round(100 * min(hzs) / ref_hz_mt, 1),
         }
-        if stable:
+        if stable and quiet:
             pairs.append(rec)
+            print(f"# pair accepted: {json.dumps(rec)}", file=sys.stderr)
         else:
             discarded += 1
-            print(f"# pair discarded (probe drift {min(hzs)}→{max(hzs)}): "
+            why = ("probe drift" if not stable else
+                   f"fell below quiet gate {args.quiet_gate}%")
+            print(f"# pair discarded ({why} {min(hzs)}→{max(hzs)}): "
                   f"{json.dumps(rec)}", file=sys.stderr)
     for srv in servers.values():
         try:
@@ -701,6 +734,25 @@ def main_scaling_interleaved(args) -> None:
             h for p in pairs for h in p["probes_hz_mt"]
         ) / ref["hz_mt"], 1,
     ) if ref["hz_mt"] else None
+    # ADVICE r5 (low): ref may be absent (probe_host(ratchet=False) never
+    # creates it) — a bare :.0f format here lost the whole multi-hour
+    # campaign's report to a TypeError.
+    cap_clause = (
+        f"Host absolute capacity during the accepted pairs: median "
+        f"all-cores probe at {cap_pct}% of the ratcheted quiet-host "
+        f"reference ({ref['hz_mt']:.0f}/s)"
+        if ref["hz_mt"] is not None else
+        "No quiet-host probe reference stored (BENCH/probe_ref.json "
+        "absent), so absolute host capacity for these pairs is unknown"
+    )
+    gate_clause = (
+        f" Quiet-window gating was ON: pairs started only when the "
+        f"all-cores probe read ≥{args.quiet_gate}% of the quiet-host "
+        f"reference and counted only if every bracketing probe stayed "
+        f"above that bar; the campaign waited through {waits} "
+        f"25-second poll cycles for quiet windows."
+        if gate else ""
+    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SCALING_INTERLEAVED.md", "w") as f:
         f.write(
@@ -715,28 +767,31 @@ def main_scaling_interleaved(args) -> None:
             "~45 min apart on a host whose capacity oscillates on a "
             "minutes timescale (see the measurement ledger). A pair "
             "counts only if the three all-cores probes bracketing its two "
-            "reps agree within 15%.\n\n"
+            "reps agree within 15%." + gate_clause + "\n\n"
             "| pair | order | wall8 (s) | wall32 (s) | docs/s 8c | docs/s "
-            "32c | eff | probes (hz_mt) |\n|---|---|---|---|---|---|---|---|\n"
+            "32c | eff | probes (hz_mt) | cap % |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
             + "\n".join(
                 f"| {i+1} | {'→'.join(map(str, p['order']))} | {p['sec8']} "
                 f"| {p['sec32']} | {p['tp8']} | {p['tp32']} | {p['eff']} "
-                f"| {p['probes_hz_mt']} |"
+                f"| {p['probes_hz_mt']} | {p.get('cap_pct', '—')} |"
                 for i, p in enumerate(pairs)
             )
             + f"\n\n**Median pair efficiency = {eff}** (target ≥ 0.8); "
-            f"pairs discarded for probe drift: {discarded}. Host absolute "
-            f"capacity during the run: median all-cores probe at "
-            f"{cap_pct}% of the ratcheted quiet-host reference "
-            f"({ref['hz_mt']:.0f}/s) — reported so a capacity-capped host "
-            "is visible, never hidden.\n\n"
+            f"pairs discarded: {discarded}. {cap_clause} — reported so a "
+            "capacity-capped host is visible, never hidden.\n\n"
             f"Reproduce: `python bench.py --scaling-interleaved --reps "
-            f"{args.reps}`.\n"
+            f"{args.reps}"
+            + (f" --quiet-gate {args.quiet_gate} --budget-min "
+               f"{args.budget_min}" if gate else "")
+            + "`.\n"
         )
     print(json.dumps({"metric": "scaling_efficiency_interleaved",
                       "value": eff, "unit": "ratio", "queries": {}, "sf": 0,
                       "pairs": pairs, "discarded": discarded,
-                      "host_capacity_pct": cap_pct}))
+                      "host_capacity_pct": cap_pct,
+                      "quiet_gate_pct": args.quiet_gate or None,
+                      "quiet_waits": waits}))
 
 
 if __name__ == "__main__":
@@ -748,6 +803,13 @@ if __name__ == "__main__":
     p.add_argument("--cores", type=int, default=32)
     p.add_argument("--reps", type=int, default=1)
     p.add_argument("--n-docs", type=int, default=BENCH_DOCS)
+    p.add_argument("--quiet-gate", type=float, default=0,
+                   help="interleaved mode: start/accept pairs only while "
+                        "the all-cores probe is ≥ this %% of the "
+                        "quiet-host reference (0 = off)")
+    p.add_argument("--budget-min", type=float, default=0,
+                   help="interleaved mode: total campaign wall budget in "
+                        "minutes (0 = attempts-based, reps+4)")
     a = p.parse_args()
     if a.scaling:
         main_scaling(a)

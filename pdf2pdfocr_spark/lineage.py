@@ -29,6 +29,31 @@ LINEAGE_COLS = (
     "n_docs", "n_spans", "status",
 )
 
+# chars Spark/Hive escape in partition-directory values
+# (PartitioningUtils.escapePathName): control chars + these ASCII specials
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^') | frozenset(
+    chr(c) for c in range(0x20)
+) | {chr(0x7F)}
+
+
+def _escape_partition_value(v: str) -> str:
+    """Spark's escapePathName equivalent: the on-disk directory name for a
+    partition value (``run_id=<escaped>``). Needed so a run_id containing
+    ':' / ' ' / '%' etc. resolves to the directory Spark actually wrote
+    (ADVICE r5 low: raw-vs-escaped mismatch made such runs look
+    uncommitted forever)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v
+    )
+
+
+def _unescape_partition_value(v: str) -> str:
+    """Inverse of Spark's escapePathName (%XX → char), for directory
+    listings → raw run_ids."""
+    from urllib.parse import unquote
+
+    return unquote(v)
+
 
 def with_bucket(df: DataFrame, buckets: int = 64) -> DataFrame:
     """Iceberg ``bucket(N, doc_id)`` transform analog: xxhash64 pmod N."""
@@ -60,8 +85,24 @@ def landed_run(spark: SparkSession, out_path: str, run_id: str) -> DataFrame:
     landed when a cache block is lost and the pipeline has timing-dependent
     quarantine (page/doc timeouts); the landed partition is the truth."""
     return spark.read.option("basePath", f"{out_path}/spans").parquet(
-        f"{out_path}/spans/run_id={run_id}"
+        f"{out_path}/spans/run_id={_escape_partition_value(run_id)}"
     )
+
+
+def _run_partition_exists(
+    spark: SparkSession, out_path: str, run_id: str
+) -> bool:
+    """Filesystem-truth check for this run's spans partition directory.
+    Deliberately does NOT swallow exceptions: callers use this to decide
+    whether a read failure means 'nothing landed' (dir absent) or 'landed
+    but unreadable' (must propagate — ADVICE r5 medium ×2: treating a
+    transient FS error as 'no data' lets resume double-append)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        f"{out_path}/spans/run_id={_escape_partition_value(run_id)}"
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
 
 
 def _done_table(out_path: str) -> str:
@@ -78,17 +119,21 @@ def _list_spans_run_ids(spark: SparkSession, out_path: str) -> list[str]:
     the Hadoop FS API so it works on HDFS/S3A exactly like local paths."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(f"{out_path}/spans")
-    try:
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(path):
-            return []
-        return [
-            st.getPath().getName().split("=", 1)[1]
-            for st in fs.listStatus(path)
-            if st.isDirectory() and st.getPath().getName().startswith("run_id=")
-        ]
-    except Exception:  # noqa: BLE001 — unreadable root: treat as no runs
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return []
+    # a listing error PROPAGATES (no blanket except): returning [] on a
+    # transient FS failure would hide uncommitted runs from the reconcile
+    # path and let resume double-append (same class as ADVICE r5 medium).
+    # Partition values are unescaped (ADVICE r5 low): Spark writes
+    # run_id 'a:b' as the dir 'run_id=a%3Ab'; diffing the escaped form
+    # against the raw ids in runs_committed marked such runs uncommitted
+    # forever (an O(run) rescan on every resume).
+    return [
+        _unescape_partition_value(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("run_id=")
+    ]
 
 
 def _check_spans_layout(spark: SparkSession, out_path: str) -> None:
@@ -166,9 +211,15 @@ def write_checkpointed(
     q = quarantine.withColumn("run_id", F.lit(run_id))
     q.write.mode("append").parquet(f"{out_path}/quarantine")
 
-    try:
+    # ADVICE r5 (medium): the fallback to an empty frame is legal ONLY when
+    # the partition genuinely doesn't exist (zero rows landed — e.g. every
+    # doc quarantined). Any other failure (transient FS error, permission
+    # blip) must PROPAGATE so the runs_committed marker below is never
+    # written over a done_ids append that missed landed spans — a marker
+    # certifying false coverage would make resume double-append.
+    if _run_partition_exists(spark, out_path, run_id):
         landed = landed_run(spark, out_path, run_id)
-    except Exception:  # noqa: BLE001 — zero rows landed: no partition dir
+    else:
         landed = out.limit(0)
     write_bucketed_table(
         landed.select("doc_id").distinct(),
@@ -238,11 +289,18 @@ def done_doc_ids(spark: SparkSession, out_path: str) -> DataFrame | None:
             return None
     for rid in _uncommitted_run_ids(spark, out_path):
         try:
-            base = base.unionByName(
-                landed_run(spark, out_path, rid).select("doc_id").distinct()
-            )
-        except Exception:  # noqa: BLE001 — partition vanished mid-listing
-            pass
+            part = landed_run(spark, out_path, rid).select("doc_id").distinct()
+        except Exception:
+            # ADVICE r5 (medium): only swallow when the partition GENUINELY
+            # no longer exists (vanished mid-listing, e.g. concurrent
+            # cleanup). A transient read error on a still-present partition
+            # must propagate — silently dropping landed docs from the done
+            # set voids the reconcile guarantee on exactly the flaky-storage
+            # conditions it exists for.
+            if _run_partition_exists(spark, out_path, rid):
+                raise
+            continue
+        base = base.unionByName(part)
     return base
 
 

@@ -38,6 +38,31 @@ def _is_missing_iceberg_support(exc: Exception) -> bool:
         "failed to find data source: iceberg",
         "failed to find the data source: iceberg",
     )
+    return _exc_chain_matches(exc, markers)
+
+
+def _is_not_iceberg_table(exc: Exception) -> bool:
+    """True when Iceberg support IS present but the path demonstrably is
+    not an Iceberg table (NoSuchTableException / 'not an Iceberg table' /
+    missing table metadata). ADVICE r5 (low): on Iceberg-enabled clusters,
+    'auto' pointed at a plain parquet directory used to re-raise here
+    instead of falling back — a regression vs the sandbox behaviour where
+    the same read falls back via class-not-found. The parquet fallback is
+    safe for these shapes because Iceberg itself has asserted there is no
+    table at the path; genuine read errors (corrupt metadata, permission
+    denied) match none of these and still propagate."""
+    markers = (
+        "nosuchtableexception",
+        "no such table",
+        "not an iceberg table",
+        "table_or_view_not_found",
+        "cannot find table",
+        "table does not exist",
+    )
+    return _exc_chain_matches(exc, markers)
+
+
+def _exc_chain_matches(exc: Exception, markers: tuple) -> bool:
     seen = set()
     while exc is not None and id(exc) not in seen:
         seen.add(id(exc))
@@ -51,14 +76,16 @@ def _is_missing_iceberg_support(exc: Exception) -> bool:
 def read_documents(spark: SparkSession, path: str, table_format: str = "auto") -> DataFrame:
     """S1 corpus scan. ``table_format``: 'iceberg' | 'parquet' | 'auto'.
     'auto' falls back to parquet ONLY when Iceberg support itself is absent
-    (class-not-found); real read failures re-raise."""
+    (class-not-found) or Iceberg affirms the path holds no table
+    (NoSuchTableException-shaped); real read failures re-raise."""
     if table_format == "iceberg":
         return spark.read.format("iceberg").load(path)
     if table_format == "auto":
         try:
             return spark.read.format("iceberg").load(path)
         except Exception as exc:  # noqa: BLE001 — inspect, don't swallow
-            if not _is_missing_iceberg_support(exc):
+            if not (_is_missing_iceberg_support(exc)
+                    or _is_not_iceberg_table(exc)):
                 raise
     return spark.read.parquet(path)
 

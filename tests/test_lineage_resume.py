@@ -232,3 +232,100 @@ def test_quarantine_ledger_written(spark, tmp_path):
     _run(spark, docs, out, run_id="run-q")
     q = spark.read.parquet(f"{out}/quarantine")
     assert q.filter(F.col("skip_reason") == "corrupt").count() == 2
+
+
+def test_run_id_with_escaped_chars_commits_cleanly(spark, tmp_path):
+    """ADVICE r5 (low): Spark escapes ':', ' ', '%' etc. in partition-dir
+    values; the committed-set diff must compare RAW run_ids against the
+    UNESCAPED directory values, or such runs look uncommitted forever and
+    every resume pays an O(run) rescan."""
+    docs = corpus.synth_documents(8)
+    out = str(tmp_path / "out")
+    rid = "run:2026-08-17 07%30"
+    _run(spark, docs, out, run_id=rid)
+
+    # directory listing round-trips to the raw id
+    assert rid in lineage._list_spans_run_ids(spark, out)
+    # the marker matches, so the run is NOT treated as uncommitted
+    assert lineage._uncommitted_run_ids(spark, out) == []
+    # and the escaped partition path resolves for the landed read-back
+    assert lineage.landed_run(spark, out, rid).count() > 0
+
+    # resume with the weird id already done: nothing reprocessed
+    _run(spark, docs, out, run_id="run-resume")
+    assert (
+        lineage.read_output(spark, out)
+        .filter(F.col("run_id") == "run-resume").count()
+    ) == 0
+
+
+def test_done_doc_ids_propagates_read_error_on_present_partition(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5 (medium): a transient read error on a STILL-PRESENT
+    uncommitted spans partition must propagate out of done_doc_ids —
+    silently dropping those landed docs from the done set would let resume
+    double-append on exactly the flaky-storage conditions the reconcile
+    path exists for. Only a genuinely vanished partition is skipped."""
+    import pytest
+
+    docs = corpus.synth_documents(10)
+    out = str(tmp_path / "out")
+    _run(spark, docs[:5], out, run_id="run-1")
+    # kill window: spans landed for run-2, no marker
+    processed, _q = extract(corpus.corpus_df(spark, docs[5:]), PipelineConfig())
+    lineage.with_bucket(processed, 64).withColumn(
+        "run_id", F.lit("run-2")
+    ).write.mode("append").partitionBy("run_id", "doc_bucket").parquet(
+        f"{out}/spans"
+    )
+
+    real_landed = lineage.landed_run
+
+    def flaky(spk, path, rid):
+        if rid == "run-2":
+            raise IOError("transient storage blip")
+        return real_landed(spk, path, rid)
+
+    monkeypatch.setattr(lineage, "landed_run", flaky)
+    with pytest.raises(IOError, match="transient storage blip"):
+        lineage.done_doc_ids(spark, out)
+
+    # but a partition that VANISHED mid-listing (listed, then gone before
+    # the read) is skipped safely: the real read raises and the fs check
+    # confirms the dir is absent
+    monkeypatch.setattr(lineage, "landed_run", real_landed)
+    real_list = lineage._list_spans_run_ids
+    monkeypatch.setattr(
+        lineage,
+        "_list_spans_run_ids",
+        lambda spk, path: real_list(spk, path) + ["run-ghost"],
+    )
+    done = lineage.done_doc_ids(spark, out)
+    landed = lineage.read_output(spark, out)
+    assert done.count() == landed.select("doc_id").distinct().count()
+
+
+def test_write_checkpointed_propagates_landed_read_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5 (medium): if the landed-partition read-back fails while the
+    partition EXISTS, write_checkpointed must raise BEFORE the
+    runs_committed marker is written — a marker certifying a done_ids
+    append that missed landed spans would make resume double-append."""
+    import os
+
+    import pytest
+
+    docs = corpus.synth_documents(6)
+    out = str(tmp_path / "out")
+
+    def boom(spk, path, rid):
+        raise IOError("read-back failed")
+
+    monkeypatch.setattr(lineage, "landed_run", boom)
+    df = corpus.corpus_df(spark, docs)
+    processed, quarantine = extract(df, PipelineConfig())
+    with pytest.raises(IOError, match="read-back failed"):
+        lineage.write_checkpointed(processed, quarantine, out, "run-1")
+    assert not os.path.exists(f"{out}/runs_committed")

@@ -224,3 +224,45 @@ def test_flagship_plan_has_exactly_three_exchanges(spark, tmp_path):
         if re.match(r"^\(\d+\) (Exchange|BroadcastExchange)", ln.strip())
     ]
     assert len(exchanges) == 3, exchanges
+
+
+def test_not_iceberg_table_classifier():
+    """ADVICE r5 (low): on Iceberg-ENABLED clusters, 'auto' over a plain
+    parquet dir fails NoSuchTableException-shaped, not class-not-found —
+    that shape is fallback-eligible (Iceberg itself asserted no table is
+    there); genuine read errors stay non-matching."""
+    e1 = Exception(
+        "org.apache.iceberg.exceptions.NoSuchTableException: "
+        "Table does not exist at location: file:/data/t"
+    )
+    assert readers._is_not_iceberg_table(e1)
+    e2 = Exception(
+        "[TABLE_OR_VIEW_NOT_FOUND] The table or view `t` cannot be found"
+    )
+    assert readers._is_not_iceberg_table(e2)
+    e3 = Exception("file:/data/t is not an Iceberg table")
+    assert readers._is_not_iceberg_table(e3)
+    chained = Exception("query failed")
+    chained.__cause__ = e1
+    assert readers._is_not_iceberg_table(chained)
+    e4 = Exception(
+        "org.apache.iceberg.exceptions.ValidationException: bad metadata"
+    )
+    assert not readers._is_not_iceberg_table(e4)
+    e5 = Exception("java.nio.file.AccessDeniedException: /data/t")
+    assert not readers._is_not_iceberg_table(e5)
+
+
+def test_read_documents_auto_falls_back_on_no_such_table(
+    spark, tmp_path, monkeypatch
+):
+    """The NoSuchTableException-shaped failure path falls back to parquet
+    even when Iceberg support is present (missing-support classifier says
+    no), restoring auto-mode parquet reads on Iceberg-enabled clusters."""
+    p = str(tmp_path / "t")
+    spark.range(3).toDF("doc_id").write.parquet(p)
+    monkeypatch.setattr(
+        readers, "_is_missing_iceberg_support", lambda exc: False
+    )
+    monkeypatch.setattr(readers, "_is_not_iceberg_table", lambda exc: True)
+    assert readers.read_documents(spark, p).count() == 3
