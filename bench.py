@@ -225,7 +225,14 @@ def run_dedup_job_leg(spark, sf_dir: str, reps: int) -> dict:
     (MinHash∪SimHash pairs → connected components → keep → pack) gets a
     throughput number beside the flagship, not just a correctness test.
     Times jobs.run_dedup_job end-to-end (including its table writes) over
-    the sf documents table; median of ``reps`` after one warm-up."""
+    the sf documents table; median of ``reps`` after one warm-up. Round-5
+    verdict #4: each rep also records per-stage walls (signatures / pairs /
+    cc / keep_pack / ledgers / counts) via the job's ``stage_timings``
+    hook, so the headline number is attributable; the reported stages are
+    the per-stage medians across reps. (Stage mode forces one extra
+    count() per persisted frame, so the stage sum can slightly exceed a
+    barrier-free run — the headline is measured in the SAME mode, so it is
+    self-consistent.)"""
     import shutil
     import statistics
 
@@ -238,15 +245,26 @@ def run_dedup_job_leg(spark, sf_dir: str, reps: int) -> dict:
 
     def _run():
         shutil.rmtree(out, ignore_errors=True)
-        run_dedup_job(spark, docs, out, "bench-dedup", sample_k=None)
+        st: dict = {}
+        run_dedup_job(
+            spark, docs, out, "bench-dedup", sample_k=None, stage_timings=st
+        )
+        return st
 
     _run()  # untimed warm-up
-    secs = []
+    secs, stages = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _run()
+        stages.append(_run())
         secs.append(time.perf_counter() - t0)
-    return {"dedup_job": round(statistics.median(secs), 3)}
+    stage_medians = {
+        k: round(statistics.median(s[k] for s in stages), 3)
+        for k in stages[0]
+    }
+    return {
+        "dedup_job": round(statistics.median(secs), 3),
+        "dedup_job_stages": stage_medians,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -401,24 +419,53 @@ def main_bench(args) -> None:
     timings["flagship_extract"] = round(dt, 3)
     docs_per_sec = round(n_docs / dt, 2)
 
+    # per-stage splits ride beside the queries map (values there stay
+    # plain seconds for round-over-round diffing); the headline
+    # 'dedup_job' float is the end-to-end wall these stages decompose
+    dedup_stages = timings.pop("dedup_job_stages", {})
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "docs_per_sec": docs_per_sec,
-                "flagship_docs": n_docs,
-                "cores": cores,
-                "reps": reps,
-                "flagship_all_secs": [round(s, 3) for s in flag_secs],
-            }
-        )
-    )
+    result = {
+        "metric": "e2e_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "flagship_docs": n_docs,
+        "cores": cores,
+        "reps": reps,
+        "flagship_all_secs": [round(s, 3) for s in flag_secs],
+        "dedup_job_stages": dedup_stages,
+    }
+    print(json.dumps(result))
+    _sync_docs_from_result(result)
     spark.stop()
+
+
+def _sync_docs_from_result(result: dict) -> None:
+    """Round-5 verdict #2: rewrite the ANN figures quoted in SCALE.md /
+    README.md from THIS run's numbers, labelled with the round artifact
+    the driver will record them as (newest existing BENCH_r*.json + 1) —
+    hand-copied figures drifted from the shipped JSON twice; derived text
+    cannot. Best-effort: a failure never loses the bench report."""
+    try:
+        import re as _re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import sync_bench_docs
+
+        rounds = [
+            int(m.group(1))
+            for p in os.listdir(repo)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", p))
+        ]
+        label = f"BENCH_r{(max(rounds) + 1 if rounds else 1):02d}"
+        if sync_bench_docs.sync_from_result(result, label, repo=repo):
+            print(f"# SCALE.md/README.md ANN figures re-synced as {label}",
+                  file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — docs sync must never kill bench
+        print(f"# doc sync skipped: {exc}", file=sys.stderr)
 
 
 def main_corpus_only(args) -> None:
