@@ -553,10 +553,24 @@ def main_scaling(args) -> None:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=7200,
             )
-            line = [
+            lines = [
                 ln for ln in out.stdout.splitlines() if ln.startswith("{")
-            ][-1]
-            res = json.loads(line)
+            ]
+            if not lines:
+                # child died without its JSON line (OOM-kill, crash): treat
+                # like a contended phase — retry once, then refuse — instead
+                # of an IndexError that loses the whole campaign (seen in
+                # the round-6 hunter ledger)
+                print(
+                    f"# phase {cores}c attempt {attempt + 1}: child emitted "
+                    f"no result (rc={out.returncode}); stderr tail: "
+                    f"{out.stderr.strip()[-300:]}",
+                    file=sys.stderr,
+                )
+                if attempt == 1:
+                    _abort(f"phase {cores}c child produced no result")
+                continue
+            res = json.loads(lines[-1])
             post = probe_host()
             if "error" not in res and post["ok"]:
                 results[cores] = res

@@ -62,7 +62,10 @@ def run_extraction_job(
     processed, quarantine = extract(
         remaining, config, done_docs=done_docs, progress=progress
     )
-    lineage.write_checkpointed(processed, quarantine, out_path, run_id)
+    lineage.write_checkpointed(
+        processed, quarantine, out_path, run_id,
+        quarantine_payloads=config.quarantine_payloads,
+    )
     lineage.write_metrics(spark, out_path, run_id, progress.snapshot())
     # release the assembled-frame cache: a long-lived session running many
     # extraction jobs must not accumulate dataset-sized persisted frames
@@ -276,6 +279,10 @@ def _parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--page-timeout", type=float, default=None)  # per page
     p.add_argument("-s", "--safe-mode", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=8)
+    # debug triage: keep full span payloads in the quarantine ledger (the
+    # default slim ledger is (doc_id, skip_reason, n_spans) — at 100 TB the
+    # payload copy duplicates quarantined input into quarantine/)
+    p.add_argument("--quarantine-payloads", action="store_true")
     return p.parse_args(argv)
 
 
@@ -303,6 +310,7 @@ def config_from_args(args: argparse.Namespace) -> "PipelineConfig":
         autorotate=args.autorotate,
         force_rebuild=args.force_rebuild,
         salt_buckets=args.salt_buckets,
+        quarantine_payloads=args.quarantine_payloads,
     )
 
 

@@ -175,9 +175,17 @@ def write_checkpointed(
     out_path: str,
     run_id: str,
     buckets: int = 64,
+    quarantine_payloads: bool = False,
 ) -> None:
     """Append the processed output + quarantine ledger + compact done-set +
     lineage summary.
+
+    ``quarantine_payloads``: the quarantine ledger defaults to the SLIM
+    schema (doc_id, skip_reason, n_spans, run_id) — round-5 verdict #5: at
+    a 5% quarantine rate over 100 TB, carrying full span payloads
+    duplicates 5 TB of input into ``quarantine/`` when the payload is
+    already addressable in the source table by doc_id. Pass True (debug
+    deploys) to keep the ``spans`` column for payload-at-hand triage.
 
     * spans: partitioned by (run_id, doc_bucket) — resume-era reads touch
       one run's partition, never the history.
@@ -209,6 +217,10 @@ def write_checkpointed(
     )
 
     q = quarantine.withColumn("run_id", F.lit(run_id))
+    if "spans" in quarantine.columns:
+        q = q.withColumn("n_spans", F.size("spans"))
+        if not quarantine_payloads:
+            q = q.drop("spans")
     q.write.mode("append").parquet(f"{out_path}/quarantine")
 
     # ADVICE r5 (medium): the fallback to an empty frame is legal ONLY when
@@ -302,6 +314,55 @@ def done_doc_ids(spark: SparkSession, out_path: str) -> DataFrame | None:
             continue
         base = base.unionByName(part)
     return base
+
+
+def compact_done_ids(
+    spark: SparkSession, out_path: str, buckets: int = 64
+) -> dict:
+    """Rewrite the appended done-set into one file-set per bucket (round-5
+    verdict #6): ``write_checkpointed`` APPENDS one bucketed file-set per
+    run, so after thousands of runs the resume scan stays O(done-set rows)
+    but O(runs) FILES — listing cost creeps up on every resume. This hook
+    (run it from a maintenance cadence, not the hot path) rewrites:
+
+        read current rows → stage a full copy at ``done_ids_compacting``
+        → overwrite the bucketed table from the staged copy → drop staging
+
+    The rows are repartitioned on the bucket key before the rewrite, so
+    Murmur3 alignment between repartition and bucketBy yields ONE file per
+    bucket. Bucketing metadata (key, N) is preserved — the zero-exchange
+    resume anti-join is untouched (asserted in tests). Crash window: if
+    the final overwrite dies mid-rewrite, ``{out_path}/done_ids_compacting``
+    still holds the COMPLETE staged done-set — re-register it with
+    ``readers.write_bucketed_table`` to recover; nothing is dropped until
+    the main table rewrite finished. Returns file counts before/after."""
+    from pdf2pdfocr_spark.sources.readers import write_bucketed_table
+
+    path = f"{out_path}/done_ids"
+    tbl = _done_table(out_path)
+    if spark.catalog.tableExists(tbl):
+        cur = spark.table(tbl)
+    else:  # fresh session against an existing checkpoint dir
+        cur = spark.read.parquet(path)
+    files_before = len(cur.inputFiles())
+
+    staging = f"{out_path}/done_ids_compacting"
+    cur.select("doc_id").write.mode("overwrite").parquet(staging)
+
+    write_bucketed_table(
+        spark.read.parquet(staging)
+        .repartition(buckets, F.col("doc_id")),
+        tbl,
+        path,
+        buckets=buckets,
+        mode="overwrite",
+    )
+    files_after = len(spark.table(tbl).inputFiles())
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return {"files_before": files_before, "files_after": files_after}
 
 
 def resume_filter(docs: DataFrame, out_path: str) -> DataFrame:

@@ -202,9 +202,54 @@ class SimulatedCuneiform(SimulatedTesseract):
         return super().ocr_page(payload, repaired=repaired)
 
 
+class SubprocessShelledTesseract(SimulatedTesseract):
+    """The deploy-time call shape: every page call execs a REAL child
+    process and ``cancel()`` kills it (``proc.kill``) — exactly how a
+    cluster adapter wraps ``tesseract <img> <out> -l L hocr txt`` (the
+    reference shells per page and kills its children on timeout/cleanup,
+    pdf2pdfocr.py:669-692, 1511-1528). Output semantics are inherited from
+    the simulator so span goldens stay comparable; a production adapter
+    overrides ``_child_cmd`` + the result parse.
+
+    ``--sim-child-sleep=S`` (via -x extra flags) makes the child run
+    ``sleep S`` — S≈0 for happy-path parity runs, S≫page-wall to prove the
+    watchdog's cancel kills the child INSIDE an executor worker (round-5
+    verdict #3: the unit test pinned the driver-thread contract only).
+    """
+
+    name = "tesseract-subprocess"
+
+    def __init__(self, config: OcrConfig):
+        super().__init__(config)
+        self._proc = None
+
+    def _child_cmd(self) -> list[str]:
+        secs = "0"
+        for flag in self.config.extra_flags:
+            if flag.startswith("--sim-child-sleep="):
+                secs = flag.split("=", 1)[1]
+        return ["sleep", secs]
+
+    def ocr_page(self, payload: PagePayload, repaired: bool = False) -> OcrPageResult:
+        import subprocess
+
+        self._proc = subprocess.Popen(self._child_cmd())
+        rc = self._proc.wait()
+        if rc != 0:  # killed by cancel() → never retry, propagate as X5
+            raise EngineCancelled(f"child killed by watchdog (rc={rc})")
+        return super().ocr_page(payload, repaired=repaired)
+
+    def cancel(self) -> None:
+        super().cancel()  # interrupt any simulator sleep + count the call
+        proc = self._proc
+        if proc is not None and proc.poll() is None:
+            proc.kill()
+
+
 _ENGINES = {
     "tesseract": SimulatedTesseract,
     "cuneiform": SimulatedCuneiform,
+    "tesseract_subprocess": SubprocessShelledTesseract,
 }
 
 

@@ -82,6 +82,12 @@ class PipelineConfig:
     # recomputed for the second action. Off by default (single-action
     # consumers pay nothing); checkpointed jobs flip it on (jobs.py).
     cache_assembled: bool = False
+    # Keep full span payloads in the quarantine ledger (debug triage).
+    # Default OFF: the slim ledger is (doc_id, skip_reason, n_spans) — at a
+    # 5% quarantine rate over 100 TB the payload copy is ~5 TB of input
+    # duplicated into quarantine/, and the payload stays addressable in the
+    # source table by doc_id anyway.
+    quarantine_payloads: bool = False
 
     def __post_init__(self):
         # check_rebuild_pdf raises when rebuild-from-images is combined with

@@ -555,6 +555,65 @@ def negotiated_merge_route(config: PipelineConfig) -> str:
     return "sandwich_textonly" if caps.get("textonly_pdf") else "multibackground"
 
 
+def sink_merge_plan(
+    docs: DataFrame,
+    config: PipelineConfig,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """R4 end-to-end: the PDF-synthesis sink's per-page merge-decision
+    table for a capability-negotiated MULTIBACKGROUND engine (cuneiform
+    class: hOCR only, no textonly_pdf — the reference then runs the
+    image-under-text merge script, pdf2pdfocr_multibackground.py:34-94,
+    instead of the qpdf sandwich at pdf2pdfocr.py:643-651).
+
+    Composes the production path — gates → page explode → salted
+    repartition → geometry OCR — with
+    ``functions.merge.multibackground_merge_plan``: the image page dims
+    come from the rasterized payload (px→pt at the payload dpi), the text
+    page dims from the engine's hOCR, the angle from the page rotation.
+    Raises when the negotiated route isn't 'multibackground' (a
+    textonly_pdf engine's sink overlays the sandwich instead — R3)."""
+    route = negotiated_merge_route(config)
+    if route != "multibackground":
+        raise ValueError(
+            f"negotiated merge route is {route!r}; sink_merge_plan applies "
+            "only to multibackground-negotiated engines (R4)"
+        )
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if "meta" not in docs.columns:
+        docs = docs.withColumn("meta", F.create_map().cast("map<string,string>"))
+    admitted = apply_gates(docs, config).filter(F.col("skip_reason").isNull())
+    pages = explode_pages(admitted, config).filter(~F.col("is_blank"))
+    pages = salted_repartition(pages, num_partitions, config.salt_buckets)
+    geo = run_ocr(pages, config, keep_geometry=True)
+
+    ref = F.col("media_ref")
+    dims = pages.select(
+        "doc_id", "offset", "rotation",
+        _payload_field(ref, "w").cast("int").alias("img_w_px"),
+        _payload_field(ref, "h").cast("int").alias("img_h_px"),
+        _payload_field(ref, "dpi").cast("int").alias("img_dpi"),
+    )
+    joined = geo.filter(F.col("error").isNull()).join(
+        dims, ["doc_id", "offset"]
+    )
+    from pdf2pdfocr_spark.functions.merge import multibackground_merge_plan
+
+    # px→pt at the payload dpi (H2 semantics, hocr.px_to_pt as a column)
+    img_w_pt = F.col("img_w_px") / F.col("img_dpi") * F.lit(72.0)
+    img_h_pt = F.col("img_h_px") / F.col("img_dpi") * F.lit(72.0)
+    return multibackground_merge_plan(
+        joined,
+        img_w=img_w_pt,
+        img_h=img_h_pt,
+        txt_w=F.col("page_w_pt"),
+        txt_h=F.col("page_h_pt"),
+        angle=F.col("rotation"),
+    )
+
+
 def extract(
     docs: DataFrame,
     config: PipelineConfig | None = None,

@@ -10,6 +10,7 @@ from pdf2pdfocr_spark.functions.render import (
     string_width_pt,
     word_render_geometry,
 )
+from pdf2pdfocr_spark.ocr_engine import OcrConfig
 from pdf2pdfocr_spark.oracle import PipelineConfig
 from pdf2pdfocr_spark.pipeline import StageProgress, explode_pages, run_ocr
 from pdf2pdfocr_spark.sources.readers import write_geometry
@@ -141,3 +142,61 @@ def test_job_persists_metrics(spark, tmp_path):
     for stage in StageProgress.STAGES:
         assert ("run-m1", stage) in metrics
     assert metrics[("run-m1", "ocr_pages_in")] == m["progress"]["ocr_pages_in"]
+
+
+def test_sink_merge_plan_cuneiform_end_to_end(spark):
+    """Round-5 verdict #7: the capability-negotiated MULTIBACKGROUND route
+    exercised through the production path — cuneiform config (hOCR-only,
+    textonly_pdf=False) drives gates → explode → salted repartition →
+    geometry OCR → functions/merge.multibackground_merge_plan, and the R4
+    merge-decision columns come out with the reference's semantics
+    (pdf2pdfocr_multibackground.py:34-94)."""
+    from pdf2pdfocr_spark.hocr import px_to_pt
+    from pdf2pdfocr_spark.pipeline import negotiated_merge_route, sink_merge_plan
+
+    docs = corpus.synth_documents(12, classes=("image_only", "rotated"))
+    config = PipelineConfig(ocr=OcrConfig(engine="cuneiform"))
+    assert negotiated_merge_route(config) == "multibackground"
+
+    plan = sink_merge_plan(corpus.corpus_df(spark, docs), config)
+    assert {
+        "factor_x_ppm", "factor_y_ppm", "needs_scale", "merge_mode",
+        "rotate_by", "translate_x", "translate_y",
+    } <= set(plan.columns)
+    rows = plan.collect()
+    assert rows, "no merge rows came through the pipeline"
+    assert {r["rotation"] for r in rows} - {0} , "no rotated pages in run"
+
+    w_pt = px_to_pt(corpus.A4_W, 300)
+    h_pt = px_to_pt(corpus.A4_H, 300)
+    for r in rows:
+        rot = r["rotation"]
+        if rot == 0:
+            # same capture dims on both sides → exact factors of 1, no
+            # scale, plain merge (multibackground.py:67-69, 71-73)
+            assert r["merge_mode"] == "simple" and r["rotate_by"] == 0
+            assert not r["needs_scale"]
+            assert r["factor_x_ppm"] == r["factor_y_ppm"] == 1_000_000
+            assert r["translate_x"] == r["translate_y"] == 0.0
+        else:
+            assert r["merge_mode"] == "rotated" and r["rotate_by"] == -rot
+            eff_x, eff_y = (h_pt, w_pt) if rot in (90, 270) else (w_pt, h_pt)
+            if rot == 90:
+                want = (eff_y / 2, eff_y / 2)
+            elif rot == 180:
+                want = (eff_x / 2, eff_y / 2)
+            else:
+                want = (eff_x / 2, eff_x / 2)
+            assert (r["translate_x"], r["translate_y"]) == want
+            # the engine OCRs the capture AS-IS, so a 90/270 capture's hOCR
+            # page is landscape; the plan's x/y swap (56-60) re-aligns it
+            # with the portrait image dims → factors exactly 1, no scale —
+            # the "avoid unnecessary scale" branch (67-69) taken via the
+            # swap logic, which is precisely what this golden pins
+            assert not r["needs_scale"]
+            assert r["factor_x_ppm"] == r["factor_y_ppm"] == 1_000_000
+
+    # a textonly_pdf engine negotiates the sandwich route instead (R3) —
+    # the R4 sink plan refuses rather than silently mis-merging
+    with pytest.raises(ValueError, match="sandwich_textonly"):
+        sink_merge_plan(corpus.corpus_df(spark, docs), PipelineConfig())

@@ -28,9 +28,10 @@ def test_every_cli_flag_reaches_the_config():
         "--input i --output o --run-id r -c tesseract -l deu -r 150 -m 6".split()
         + ["-x", "--oem 1 --fast"]  # reference -x: ONE string of flags
         + "--timeout 120 --page-timeout 30 -s -b 2 -p 50 -d 0.3 -g jpeg "
-          "--autorotate".split()
+          "--autorotate --quarantine-payloads".split()
     )
     c = config_from_args(a)
+    assert c.quarantine_payloads is True
     assert c.ocr.dpi == 150
     assert c.ocr.psm == 6
     assert c.ocr.extra_flags == ("--oem", "1", "--fast")

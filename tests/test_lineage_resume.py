@@ -227,11 +227,34 @@ def test_metrics_rerun_same_run_id_overwrites(spark, tmp_path):
 
 
 def test_quarantine_ledger_written(spark, tmp_path):
+    """Default ledger is SLIM (round-5 verdict #5): (doc_id, skip_reason,
+    n_spans, run_id) — no span payloads duplicated into quarantine/ (at a
+    5% quarantine rate over 100 TB that copy is ~5 TB; the payload stays
+    addressable in the source table by doc_id)."""
     docs = corpus.synth_documents(26)
     out = str(tmp_path / "out")
     _run(spark, docs, out, run_id="run-q")
     q = spark.read.parquet(f"{out}/quarantine")
-    assert q.filter(F.col("skip_reason") == "corrupt").count() == 2
+    assert sorted(q.columns) == ["doc_id", "n_spans", "run_id", "skip_reason"]
+    rows = q.filter(F.col("skip_reason") == "corrupt").collect()
+    assert len(rows) == 2
+    assert all(r["n_spans"] >= 0 for r in rows)
+
+
+def test_quarantine_payloads_flag_keeps_spans(spark, tmp_path):
+    """quarantine_payloads=True (debug deploys / --quarantine-payloads)
+    keeps the full span payload beside the slim columns."""
+    docs = corpus.synth_documents(26)
+    out = str(tmp_path / "out")
+    df = corpus.corpus_df(spark, docs)
+    processed, quarantine = extract(df, PipelineConfig())
+    lineage.write_checkpointed(
+        processed, quarantine, out, "run-q", quarantine_payloads=True
+    )
+    q = spark.read.parquet(f"{out}/quarantine")
+    assert "spans" in q.columns and "n_spans" in q.columns
+    row = q.filter(F.col("skip_reason") == "corrupt").first()
+    assert row["n_spans"] == len(row["spans"])
 
 
 def test_run_id_with_escaped_chars_commits_cleanly(spark, tmp_path):
@@ -329,3 +352,59 @@ def test_write_checkpointed_propagates_landed_read_error(
     with pytest.raises(IOError, match="read-back failed"):
         lineage.write_checkpointed(processed, quarantine, out, "run-1")
     assert not os.path.exists(f"{out}/runs_committed")
+
+
+def test_compact_done_ids_one_fileset_same_semantics(spark, tmp_path):
+    """Round-5 verdict #6: N appended runs leave O(N) file-sets in the
+    bucketed done table; compact_done_ids rewrites to ≤1 file per bucket
+    with an IDENTICAL done set, unchanged resume behavior, and the
+    zero-exchange anti-join preserved (bucket metadata survives)."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = corpus.synth_documents(30)
+    out = str(tmp_path / "out")
+    _run(spark, docs[:10], out, run_id="run-1")
+    _run(spark, docs[:20], out, run_id="run-2")
+    _run(spark, docs, out, run_id="run-3")
+
+    before_ids = {r["doc_id"] for r in lineage.done_doc_ids(spark, out).collect()}
+    stats = lineage.compact_done_ids(spark, out, buckets=64)
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] <= 64
+
+    after = lineage.done_doc_ids(spark, out)
+    assert {r["doc_id"] for r in after.collect()} == before_ids
+    # staging copy cleaned up
+    import os
+
+    assert not os.path.exists(f"{out}/done_ids_compacting")
+
+    # resume over the full corpus after compaction: nothing reprocessed
+    _run(spark, docs, out, run_id="run-post")
+    assert (
+        lineage.read_output(spark, out)
+        .filter(F.col("run_id") == "run-post").count()
+    ) == 0
+
+    # bucketing metadata preserved: anti-join against a same-bucketed
+    # input still plans with zero exchanges
+    from pdf2pdfocr_spark.sources.readers import write_bucketed_table
+
+    write_bucketed_table(
+        corpus.corpus_df(spark, docs).select("doc_id"),
+        "bk_compact_input", str(tmp_path / "bk_in"), buckets=64,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        anti = spark.table("bk_compact_input").join(
+            lineage.done_doc_ids(spark, out), "doc_id", "left_anti"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            anti.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_compact_input")

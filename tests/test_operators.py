@@ -171,11 +171,58 @@ def test_multimodal_features_plumbing(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
+def _have_pillow() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _have_pillow(),
+    reason="codec installed: the real path is covered by "
+    "test_multimodal_codec_decoder_real_image",
+)
 def test_multimodal_codec_decoder_stubbed(spark):
     media = multimodal.synth_media(spark, n=3)
     feats = multimodal.extract_features(media, decoder=multimodal.CodecDecoder())
     rows = feats.collect()
     assert all(r["error"] and "decoder_unavailable" in r["error"] for r in rows)
+
+
+@pytest.mark.skipif(
+    not _have_pillow(),
+    reason="Pillow absent in this sandbox; cluster CI exercises the real "
+    "decode path (round-5 verdict #8)",
+)
+def test_multimodal_codec_decoder_real_image(spark):
+    """When a Pillow-class decoder IS present, CodecDecoder must use it:
+    a real PNG decodes to its pixel array and flows through the
+    mapInPandas feature path with no error."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    arr = multimodal.CodecDecoder().decode(payload, "image")
+    assert arr.shape == (10, 20, 3)
+    assert (arr[:, :, 0] == 255).all() and (arr[:, :, 1] == 0).all()
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(payload), (20, 10, None, "png"))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(
+        media, decoder=multimodal.CodecDecoder()
+    ).collect()
+    assert len(rows) == 1 and rows[0]["error"] is None
+    # solid red resized: every feature chunk mean reflects (255,0,0)
+    assert rows[0]["feature"] is not None and rows[0]["out_width"] == 16
 
 
 def test_duplicate_clusters_min_label(spark):

