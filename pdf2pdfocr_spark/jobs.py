@@ -223,15 +223,21 @@ def run_dedup_job(
     # derived counts avoid recomputing the upstream frames: kept = in −
     # dropped (drop ⊆ docs, ids unique); sampled = shard rows (every
     # sampled doc lands in exactly one shard); overflow counts read the
-    # just-written ledgers
+    # just-written ledgers. One agg per table (round-6: the stage-timing
+    # split showed this stage paying two separate shard scans — count +
+    # distinct — for what one aggregation computes)
     n_in, n_dropped = docs.count(), drop.count()
+    shard_row = shards.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct("bucket", "shard").alias("shards"),
+    ).collect()[0]
     counts = {
         "docs_in": n_in,
         "dup_pairs": pairs.count(),
         "docs_dropped": n_dropped,
         "docs_kept": n_in - n_dropped,
-        "docs_sampled": shards.count(),
-        "shards": shards.select("bucket", "shard").distinct().count(),
+        "docs_sampled": shard_row["rows"],
+        "shards": shard_row["shards"],
         "minhash_overflow_buckets": spark.read.parquet(
             f"{out_path}/ledgers/minhash_overflow"
         ).count(),
