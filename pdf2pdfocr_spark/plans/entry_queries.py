@@ -350,6 +350,120 @@ def q_r4_multibackground(spark, sf_dir):
     )
 
 
+def q_r4_sink_merge(spark, sf_dir):
+    """R4 capability-negotiated sink merge plan END-TO-END: the derived
+    interleaved corpus runs gates → page explode → salted repartition →
+    geometry OCR with the CUNEIFORM engine (hOCR-only → multibackground
+    route, pdf2pdfocr.py:1258-1266) → the merge decision table
+    (pdf2pdfocr_multibackground.py:34-94). Rotation is injected
+    deterministically (raw doc_id % 4 × 90) so every branch of the
+    decision table is exercised; the DuckDB oracle reproduces the page
+    geometry CLOSED-FORM — the hOCR page of a 90/270 capture carries the
+    swapped capture dims (hocr.synth_hocr), EXCEPT cuneiform's
+    empty-page fallback (hocr_seed % 997 == 0, pdf2pdfocr.py:200 analog)
+    which hard-codes the unswapped payload dims — the oracle models both,
+    pinning that quirk cross-engine."""
+    from pdf2pdfocr_spark.corpus import documents_from_testdata
+    from pdf2pdfocr_spark.ocr_engine import OcrConfig
+    from pdf2pdfocr_spark.oracle import PipelineConfig
+    from pdf2pdfocr_spark.pipeline import _ship_package, sink_merge_plan
+
+    _ship_package(spark)
+    docs = documents_from_testdata(spark, sf_dir)
+    rot = (
+        F.pmod(F.substring(F.col("doc_id"), 5, 9).cast("long"), F.lit(4)) * 90
+    ).cast("int")
+    docs = docs.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                F.regexp_replace(
+                    s["media_ref"], F.lit("rot=0"),
+                    F.concat(F.lit("rot="), rot.cast("string")),
+                ).alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    plan = sink_merge_plan(
+        docs, PipelineConfig(ocr=OcrConfig(engine="cuneiform"))
+    )
+    return plan.select(
+        "doc_id",
+        "offset",
+        F.col("rotation").cast("int").alias("rotation"),
+        "factor_x_ppm",
+        "factor_y_ppm",
+        "needs_scale",
+        "merge_mode",
+        "rotate_by",
+        "translate_x",
+        "translate_y",
+    )
+
+
+SQL_R4_SINK_MERGE = """
+WITH base AS (
+  SELECT doc_id AS raw_id,
+         greatest(1, CAST(ceil(len(string_split(text, ' ')) / 12.0)
+                          AS BIGINT)) AS n_chunks,
+         CAST((doc_id % 4) * 90 AS INT) AS rotation,
+         ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 2147483647) + 1 + 7) AS hocr_seed
+  FROM documents
+),
+pages AS (
+  SELECT printf('doc-%09d', raw_id) AS doc_id,
+         CAST(c.i * 2 + 1 AS INT) AS "offset",
+         rotation,
+         (hocr_seed % 997 = 0) AS empty_fallback
+  FROM base, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) c
+),
+geom AS (
+  SELECT *,
+         CAST(2480 AS DOUBLE) / 300 * 72.0 AS w_pt,
+         CAST(3508 AS DOUBLE) / 300 * 72.0 AS h_pt,
+         -- image dims, rotation-corrected (multibackground.py:56-60)
+         CASE WHEN rotation IN (90, 270)
+              THEN CAST(3508 AS DOUBLE) / 300 * 72.0
+              ELSE CAST(2480 AS DOUBLE) / 300 * 72.0 END AS eff_x,
+         CASE WHEN rotation IN (90, 270)
+              THEN CAST(2480 AS DOUBLE) / 300 * 72.0
+              ELSE CAST(3508 AS DOUBLE) / 300 * 72.0 END AS eff_y,
+         -- text page dims from the engine's hOCR: swapped capture dims
+         -- for 90/270 (synth_hocr), UNLESS the cuneiform empty-page
+         -- fallback fired (unswapped payload dims, pdf2pdfocr.py:200)
+         CASE WHEN rotation IN (90, 270) AND NOT empty_fallback
+              THEN CAST(3508 AS DOUBLE) / 300 * 72.0
+              ELSE CAST(2480 AS DOUBLE) / 300 * 72.0 END AS txt_w,
+         CASE WHEN rotation IN (90, 270) AND NOT empty_fallback
+              THEN CAST(2480 AS DOUBLE) / 300 * 72.0
+              ELSE CAST(3508 AS DOUBLE) / 300 * 72.0 END AS txt_h
+  FROM pages
+)
+SELECT doc_id,
+       "offset",
+       rotation,
+       CAST(floor(txt_w / eff_x * 1000000.0) AS BIGINT) AS factor_x_ppm,
+       CAST(floor(txt_h / eff_y * 1000000.0) AS BIGINT) AS factor_y_ppm,
+       (abs(txt_w / eff_x - 1.0) > 0.001
+        OR abs(txt_h / eff_y - 1.0) > 0.001) AS needs_scale,
+       CASE WHEN rotation % 360 = 0 THEN 'simple'
+            ELSE 'rotated' END AS merge_mode,
+       CAST(CASE WHEN rotation = 0 THEN 0 ELSE -rotation END AS INT)
+         AS rotate_by,
+       CAST(CASE WHEN rotation = 0 THEN 0.0
+                 WHEN rotation = 90 THEN eff_y / 2
+                 ELSE eff_x / 2 END AS DOUBLE) AS translate_x,
+       CAST(CASE WHEN rotation = 0 THEN 0.0
+                 WHEN rotation = 270 THEN eff_x / 2
+                 ELSE eff_y / 2 END AS DOUBLE) AS translate_y
+FROM geom
+"""
+
 SQL_R4_MULTIBACKGROUND = """
 WITH base AS (
   SELECT p_partkey,
@@ -1442,6 +1556,7 @@ QUERIES = {
     "h6_ligature_normalize": q_h6_ligature,
     "h7_render_geometry": q_h7_render_geometry,
     "r4_multibackground_merge": q_r4_multibackground,
+    "r4_sink_merge_plan": q_r4_sink_merge,
     "scalar_px_pt_area": q_scalar_math,
     "x2_salt_preserve": q_x2_salt_preserve,
     "tpch_q1_agg": q_tpch_q1,
@@ -1484,6 +1599,7 @@ ORACLES = {
     "h6_ligature_normalize": SQL_H6,
     "h7_render_geometry": SQL_H7_RENDER,
     "r4_multibackground_merge": SQL_R4_MULTIBACKGROUND,
+    "r4_sink_merge_plan": SQL_R4_SINK_MERGE,
     "scalar_px_pt_area": SQL_SCALAR,
     "x2_salt_preserve": SQL_X2,
     "tpch_q1_agg": SQL_TPCH_Q1,

@@ -200,3 +200,58 @@ def test_sink_merge_plan_cuneiform_end_to_end(spark):
     # the R4 sink plan refuses rather than silently mis-merging
     with pytest.raises(ValueError, match="sandwich_textonly"):
         sink_merge_plan(corpus.corpus_df(spark, docs), PipelineConfig())
+
+
+def test_sink_merge_oracle_models_cuneiform_empty_fallback(spark, tmp_path):
+    """The r4_sink_merge_plan DuckDB oracle models cuneiform's empty-page
+    fallback (hocr_seed % 997 == 0 → UNSWAPPED payload dims,
+    pdf2pdfocr.py:200 analog) — no doc in the sf0.001/sf0.01 testdata hits
+    that residue, so this fixture forces it: raw doc_id 4611 (md5-derived
+    seed ≡ 0 mod 997, rotation 270) must come out needs_scale=True with
+    portrait/landscape factor ratios, matching the oracle's CASE branch
+    bit-for-bit."""
+    import math
+
+    import duckdb
+
+    from pdf2pdfocr_spark.plans.entry_queries import (
+        ORACLES,
+        QUERIES,
+    )
+
+    # a tiny documents table containing the quirk doc (4611: seed%997==0,
+    # rot 270) and a plain rotated doc (9653: rot 90, no quirk)
+    rows = [(4611, "alpha beta gamma delta", "en", "web", 22),
+            (1, "one two three four five", "en", "web", 23)]
+    tdir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.parquet(f"{tdir}/documents.parquet")
+
+    sdf = QUERIES["r4_sink_merge_plan"](spark, tdir)
+    got = {(r["doc_id"], r["offset"]): r for r in sdf.collect()}
+    quirk = got[("doc-000004611", 1)]
+    plain = got[("doc-000000001", 1)]
+    # quirk: hOCR kept portrait dims on a 270° capture → scaling required
+    assert quirk["rotation"] == 270 and quirk["needs_scale"]
+    w_pt, h_pt = 2480 / 300 * 72.0, 3508 / 300 * 72.0
+    assert quirk["factor_x_ppm"] == math.floor(w_pt / h_pt * 1_000_000.0)
+    assert quirk["factor_y_ppm"] == math.floor(h_pt / w_pt * 1_000_000.0)
+    # plain rotated doc: swap alignment → no scale
+    assert plain["rotation"] == 90 and not plain["needs_scale"]
+    assert plain["factor_x_ppm"] == 1_000_000
+
+    # and DuckDB's oracle agrees row-for-row on this fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tdir}/documents.parquet/*.parquet')"
+    )
+    cols = sdf.columns
+    drows = con.execute(ORACLES["r4_sink_merge_plan"]).fetchall()
+    dcols = [d[0] for d in con.description]
+    order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    a = sorted(tuple(r[i] for i in order_s) for r in (tuple(x) for x in sdf.collect()))
+    b = sorted(tuple(r[i] for i in order_d) for r in drows)
+    assert a == b
