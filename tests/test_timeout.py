@@ -174,8 +174,9 @@ def test_doc_budget_cancels_remaining_fast_pages(spark):
     assert n_ok == 0
     assert len(q) == 1 and "doc_timeout" in q[0]["skip_reason"]
     # unenforced, the two actions above re-run OCR twice: ≥ 2×40×0.3 = 24 s;
-    # enforcement caps each pass near the 0.5 s budget
-    assert wall < 12.0, f"remaining pages ran to completion ({wall:.1f}s)"
+    # enforcement caps each pass near the 0.5 s budget — any bound under
+    # 24 s proves it; 20 (not 12) tolerates fixed overhead on a loaded host
+    assert wall < 20.0, f"remaining pages ran to completion ({wall:.1f}s)"
 
 
 def test_no_timeout_when_fast(spark):
