@@ -729,6 +729,7 @@ def main_scaling_interleaved(args) -> None:
     # relative-stability gate); the campaign polls until --budget-min
     # expires, then reports however many quiet pairs it caught.
     pairs, discarded, waits = [], 0, 0
+    ledger = []  # EVERY measured pair, accepted or not — auditable evidence
     gate = (args.quiet_gate or 0) / 100.0
     budget_s = (args.budget_min * 60) if args.budget_min else None
     t_start = time.time()
@@ -769,14 +770,18 @@ def main_scaling_interleaved(args) -> None:
             "cap_pct": round(100 * min(hzs) / ref_hz_mt, 1),
         }
         if stable and quiet:
+            rec["accepted"] = True
             pairs.append(rec)
             print(f"# pair accepted: {json.dumps(rec)}", file=sys.stderr)
         else:
             discarded += 1
             why = ("probe drift" if not stable else
-                   f"fell below quiet gate {args.quiet_gate}%")
+                   f"below quiet gate {args.quiet_gate}%")
+            rec["accepted"] = False
+            rec["why_discarded"] = why
             print(f"# pair discarded ({why} {min(hzs)}→{max(hzs)}): "
                   f"{json.dumps(rec)}", file=sys.stderr)
+        ledger.append(rec)
     for srv in servers.values():
         try:
             srv.stdin.write("quit\n")
@@ -786,7 +791,8 @@ def main_scaling_interleaved(args) -> None:
     if not pairs:
         print(json.dumps({"metric": "scaling_efficiency_interleaved",
                           "value": None, "unit": "ratio", "queries": {},
-                          "sf": 0, "aborted": "no stable pairs"}))
+                          "sf": 0, "aborted": "no stable pairs",
+                          "ledger": ledger, "quiet_waits": waits}))
         sys.exit(3)
     eff = statistics.median(p["eff"] for p in pairs)
     ref = _load_probe_ref()
@@ -838,6 +844,17 @@ def main_scaling_interleaved(args) -> None:
                 f"| {p['probes_hz_mt']} | {p.get('cap_pct', '—')} |"
                 for i, p in enumerate(pairs)
             )
+            + "\n\nFull measurement ledger (every pair, accepted or "
+            "discarded — the audit trail):\n\n"
+            "| # | accepted | why | order | docs/s 8c | docs/s 32c | eff "
+            "| cap % |\n|---|---|---|---|---|---|---|---|\n"
+            + "\n".join(
+                f"| {i+1} | {'yes' if p.get('accepted') else 'NO'} "
+                f"| {p.get('why_discarded', '—')} "
+                f"| {'→'.join(map(str, p['order']))} | {p['tp8']} "
+                f"| {p['tp32']} | {p['eff']} | {p.get('cap_pct', '—')} |"
+                for i, p in enumerate(ledger)
+            )
             + f"\n\n**Median pair efficiency = {eff}** (target ≥ 0.8); "
             f"pairs discarded: {discarded}. {cap_clause} — reported so a "
             "capacity-capped host is visible, never hidden.\n\n"
@@ -850,6 +867,7 @@ def main_scaling_interleaved(args) -> None:
     print(json.dumps({"metric": "scaling_efficiency_interleaved",
                       "value": eff, "unit": "ratio", "queries": {}, "sf": 0,
                       "pairs": pairs, "discarded": discarded,
+                      "ledger": ledger,
                       "host_capacity_pct": cap_pct,
                       "quiet_gate_pct": args.quiet_gate or None,
                       "quiet_waits": waits}))
