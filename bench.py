@@ -226,13 +226,13 @@ def run_dedup_job_leg(spark, sf_dir: str, reps: int) -> dict:
     throughput number beside the flagship, not just a correctness test.
     Times jobs.run_dedup_job end-to-end (including its table writes) over
     the sf documents table; median of ``reps`` after one warm-up. Round-5
-    verdict #4: each rep also records per-stage walls (signatures / pairs /
-    cc / keep_pack / ledgers / counts) via the job's ``stage_timings``
-    hook, so the headline number is attributable; the reported stages are
-    the per-stage medians across reps. (Stage mode forces one extra
-    count() per persisted frame, so the stage sum can slightly exceed a
-    barrier-free run — the headline is measured in the SAME mode, so it is
-    self-consistent.)"""
+    verdict #4: one ADDITIONAL run records per-stage walls (signatures /
+    pairs / cc / keep_pack / ledgers / counts) via the job's
+    ``stage_timings`` hook, so the headline wall is attributable. The
+    headline reps stay BARRIER-FREE (the stage hook forces one extra
+    count() per persisted frame — measured ~+25% at sf0.1 — so timing the
+    headline in stage mode would break round-over-round comparability);
+    the stage run's own total is reported beside it for honesty."""
     import shutil
     import statistics
 
@@ -243,27 +243,25 @@ def run_dedup_job_leg(spark, sf_dir: str, reps: int) -> dict:
     )
     out = "/tmp/spark_graft_bench_dedupjob"
 
-    def _run():
+    def _run(st=None):
         shutil.rmtree(out, ignore_errors=True)
-        st: dict = {}
         run_dedup_job(
             spark, docs, out, "bench-dedup", sample_k=None, stage_timings=st
         )
-        return st
 
     _run()  # untimed warm-up
-    secs, stages = [], []
+    secs = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        stages.append(_run())
+        _run()
         secs.append(time.perf_counter() - t0)
-    stage_medians = {
-        k: round(statistics.median(s[k] for s in stages), 3)
-        for k in stages[0]
-    }
+    stages: dict = {}
+    t0 = time.perf_counter()
+    _run(st=stages)
+    stages["total_with_barriers"] = round(time.perf_counter() - t0, 3)
     return {
         "dedup_job": round(statistics.median(secs), 3),
-        "dedup_job_stages": stage_medians,
+        "dedup_job_stages": stages,
     }
 
 
