@@ -140,9 +140,11 @@ def run_dedup_job(
     import time as _time
 
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     from pdf2pdfocr_spark.operators import dedup, sampling
     from pdf2pdfocr_spark.operators.text_analysis import token_count_ws
+    from pdf2pdfocr_spark.partitioning import fan_out
 
     _t = [_time.perf_counter()]
 
@@ -155,12 +157,26 @@ def run_dedup_job(
         stage_timings[stage] = round(now - _t[0], 3)
         _t[0] = now
 
-    # one signature pass per algorithm (round-4 verdict #3): the band/chunk
-    # frames are computed ONCE, persisted, and feed BOTH the capped
-    # candidate join and the overflow ledger — previously every shingle was
-    # hashed twice per algorithm (the two most expensive stages in the job)
-    band_rows = dedup.minhash_band_rows(
+    # single-file/single-row-group inputs leave every tokenize/hash map
+    # stage on one core (guide §2.5 input skew) — fan_out is a no-op when
+    # the input already has enough splits, so this never adds a shuffle on
+    # a properly laid-out 100 TB table
+    docs = fan_out(docs)
+
+    # one TOKENIZE+SHINGLE pass for the whole job (round-6 verdict #3): the
+    # shingle frame feeds minhash signature generation AND both sides of
+    # the exact-Jaccard verification join — previously the job tokenized
+    # the full corpus once for signatures and twice more for verification.
+    # MEMORY_AND_DISK: the frame is ~shingle-factor × corpus text, so at
+    # cluster scale it spills rather than evicts; it is released as soon as
+    # the ledgers are written. One signature pass per algorithm (round-4
+    # verdict #3) is kept: band/chunk frames persist and feed both the
+    # capped candidate join and the overflow ledger.
+    sh_frame = dedup.with_shingles(
         docs, id_col=id_col, text_col=text_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_rows = dedup.minhash_band_rows(
+        docs, id_col=id_col, text_col=text_col, shingles=sh_frame
     ).persist()
     chunk_rows = dedup.simhash_chunk_rows(
         docs, id_col=id_col, text_col=text_col
@@ -169,7 +185,7 @@ def run_dedup_job(
 
     mh = dedup.minhash_lsh_pairs(
         docs, threshold=threshold, id_col=id_col, text_col=text_col,
-        bucket_cap=bucket_cap, band_rows=band_rows,
+        bucket_cap=bucket_cap, band_rows=band_rows, shingles=sh_frame,
     ).select("id_a", "id_b")
     sh = dedup.simhash_near_dups(
         docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col,
@@ -218,6 +234,7 @@ def run_dedup_job(
     sh_over.write.mode("overwrite").parquet(f"{out_path}/ledgers/simhash_overflow")
     band_rows.unpersist()
     chunk_rows.unpersist()
+    sh_frame.unpersist()
     _mark("ledgers")
 
     # derived counts avoid recomputing the upstream frames: kept = in −

@@ -215,20 +215,35 @@ def _md5_long(col):
 
 
 def with_minhash(docs: DataFrame, num_hashes: int = 16, n: int = 3,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 shingles: DataFrame | None = None) -> DataFrame:
     """K minhash values per doc: min over shingles of md5(i || shingle).
-    array_min(transform(...)) — zero shuffles, pure codegen."""
-    sh = with_shingles(docs, n, id_col, text_col)
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: _md5_long(F.concat(F.lit(f"{i}|"), s)),
-            )
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select("doc_id", *cols)
+
+    Computed as explode(shingles) → K codegen'd md5 min-aggregates — NOT
+    ``array_min(transform(...))``: higher-order functions are
+    CodegenFallback, so the K·|shingles| md5 calls used to run interpreted
+    with per-element boxing (the dominant cost of the dedup job's signature
+    stage, optimization guide §4.1). The explode form pays one extra
+    map-side-combined shuffle of K longs per doc — negligible — and min is
+    commutative, so the values are bit-identical to the array_min form
+    (the DuckDB oracle is unchanged).
+
+    ``shingles``: pass a (persisted) ``with_shingles`` frame to share one
+    tokenize+shingle pass with the verification joins (round-6 verdict #3).
+    """
+    sh = (
+        shingles if shingles is not None
+        else with_shingles(docs, n, id_col, text_col)
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("_s"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _md5_long(F.concat(F.lit(f"{i}|"), F.col("_s")))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_band_rows(
@@ -238,19 +253,21 @@ def minhash_band_rows(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, sig) LSH band-bucket rows: band signature = concat of
     r = K/B consecutive minhashes. Exposed so the overflow ledger and the
     candidate join run off the same frame. K must divide evenly into B —
     a silent remainder would drop minhashes from the last band's signature
-    (lower precision) with no warning."""
+    (lower precision) with no warning. ``shingles`` forwards to
+    ``with_minhash`` (share one shingle pass)."""
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands} "
             "(a remainder would silently drop minhashes from the banding)"
         )
     r = num_hashes // bands
-    mh = with_minhash(docs, num_hashes, n, id_col, text_col)
+    mh = with_minhash(docs, num_hashes, n, id_col, text_col, shingles=shingles)
     return mh.select(
         "doc_id",
         F.explode(
@@ -279,6 +296,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bucket_cap: int = 1000,
     band_rows: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified by exact shingle Jaccard.
 
@@ -297,10 +315,14 @@ def minhash_lsh_pairs(
     ``band_rows``: pass a (persisted) ``minhash_band_rows`` frame to share
     ONE signature computation with ``minhash_band_overflow`` (round-4
     verdict #3: the chained dedup job used to hash every shingle twice).
+    ``shingles``: pass a (persisted) ``with_shingles`` frame to share one
+    tokenize+shingle pass with signature generation — without it the
+    verification joins re-tokenize the whole corpus twice (round-6
+    verdict #3: the two largest avoidable scans in the chained job).
     """
     if band_rows is None:
         band_rows = minhash_band_rows(
-            docs, num_hashes, bands, n, id_col, text_col
+            docs, num_hashes, bands, n, id_col, text_col, shingles=shingles
         )
     capped = _cap_buckets(band_rows, ["band", "sig"], bucket_cap)
     cand = (
@@ -312,7 +334,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = with_shingles(docs, n, id_col, text_col)
+    sh = (
+        shingles if shingles is not None
+        else with_shingles(docs, n, id_col, text_col)
+    )
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"),
                             F.col("shingles").alias("sh_a")), "id_a")
@@ -341,6 +366,7 @@ def minhash_band_overflow(
     text_col: str = "text",
     bucket_cap: int = 1000,
     band_rows: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Which (band, sig) buckets exceeded ``bucket_cap`` (and by how much)
     for the corresponding minhash_lsh_pairs call — the visibility half of
@@ -348,7 +374,7 @@ def minhash_band_overflow(
     to ``minhash_lsh_pairs`` to avoid recomputing signatures."""
     if band_rows is None:
         band_rows = minhash_band_rows(
-            docs, num_hashes, bands, n, id_col, text_col
+            docs, num_hashes, bands, n, id_col, text_col, shingles=shingles
         )
     return bucket_overflow(band_rows, ["band", "sig"], bucket_cap)
 

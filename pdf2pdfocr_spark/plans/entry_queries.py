@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf2pdfocr_spark.operators import dedup, similarity, text_analysis as ta
+from pdf2pdfocr_spark.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 
@@ -123,7 +124,7 @@ FROM lineitem WHERE l_discount = 0.0 GROUP BY l_returnflag
 # --- R1/S6: ordered reassembly + ordered concat -----------------------------
 
 def q_r1_ordered_concat(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
         F.concat_ws(
             "",
@@ -165,7 +166,7 @@ FROM events GROUP BY user_id
 # --- R3: merge equi-join -----------------------------------------------------
 
 def q_r3_merge_join(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    orders = fan_out(_t(spark, sf_dir, "orders"))
     cust = _t(spark, sf_dir, "customer")
     return (
         orders.join(
@@ -521,7 +522,7 @@ FROM lineitem GROUP BY 1
 # --- TPC-H Q1 style aggregate -------------------------------------------------
 
 def q_tpch_q1(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -669,7 +670,7 @@ FROM orders
 # --- dedup: exact -----------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return (
         docs.select(
             F.md5(dedup.normalize_text(F.col("text"))).alias("content_hash"),
@@ -717,7 +718,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # bigrams over the first 150 docs with a threshold inside the observed
     # similarity tail, so the check is non-trivial (returns pairs) at both
     # gate scales; max_df exercises the hot-shingle cutoff end-to-end
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = fan_out(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
     return dedup.ngram_jaccard_pairs(
         docs, n=2, threshold=0.08, text_col="text", max_df=30
     )
@@ -747,7 +748,7 @@ FROM v WHERE c / (na + nb - c) >= 0.08
 # --- dedup: MinHash signatures -------------------------------------------------
 
 def q_dedup_minhash_sig(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = fan_out(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.with_minhash(docs, num_hashes=8, n=3, text_col="text")
 
 
@@ -774,7 +775,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     OOM on a dup-heavy corpus), and exact shingle-Jaccard verification —
     mirrored bucket-for-bucket in the DuckDB oracle (same row_number cap,
     same doc_id rank order)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = fan_out(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
     return dedup.minhash_lsh_pairs(
         docs, num_hashes=8, bands=4, n=2, threshold=0.08, text_col="text",
         bucket_cap=10,
@@ -825,7 +826,7 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.08
 # --- dedup: SimHash fingerprints ------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return dedup.with_simhash(docs, bits=32, text_col="text")
 
 
@@ -858,7 +859,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     per-(chunk,val) population cap (round-2 verdict: 8-10 bit chunks make
     degenerate buckets LIKELY, not adversarial), and exact Hamming
     verification — mirrored bucket-for-bucket in the DuckDB oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return dedup.simhash_near_dups(
         docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
     )
@@ -899,7 +900,7 @@ def q_dedup_clusters(spark, sf_dir):
     The DuckDB oracle computes the same clusters via a recursive-CTE
     transitive closure (min reachable id per node) — an engine-independent
     definition of the component labels."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     pairs = dedup.simhash_near_dups(
         docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
     )
@@ -927,7 +928,7 @@ SELECT u AS doc_id, min(w) AS cluster_id FROM reach GROUP BY u
 def q_dedup_fuzzy_keep_one(spark, sf_dir):
     """End-to-end fuzzy dedup: SimHash pairs → connected components → keep
     only each cluster's min-id representative (plus unpaired docs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     pairs = dedup.simhash_near_dups(
         docs, bits=32, max_hamming=2, text_col="text", bucket_cap=50
     )
@@ -965,7 +966,7 @@ def q_dedup_job_kept(spark, sf_dir):
     from pdf2pdfocr_spark.operators import sampling
     from pdf2pdfocr_spark.operators.text_analysis import token_count_ws
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = fan_out(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150))
     mh = dedup.minhash_lsh_pairs(
         docs, num_hashes=8, bands=4, n=2, threshold=0.08, text_col="text",
         bucket_cap=10,
@@ -1121,7 +1122,7 @@ def q_pack_shards(spark, sf_dir):
     bucket — shard = floor(preceding_tokens / budget)."""
     from pdf2pdfocr_spark.operators import sampling
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = fan_out(_t(spark, sf_dir, "documents")).withColumn(
         "n_tokens", ta.token_count_ws(F.col("text"))
     )
     return sampling.pack_shards(docs, budget=2000, buckets=8).select(
@@ -1365,7 +1366,7 @@ EXTRA_ORACLES = {
 # --- text analysis ----------------------------------------------------------------
 
 def q_text_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", ta.detect_language(F.col("text")).alias("lang_guess"))
 
 
@@ -1402,7 +1403,7 @@ FROM r
 
 
 def q_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return ta.quality_features(docs, "text").select(
         "doc_id", "n_tokens", "mean_word_len", "punct_ratio",
         "alpha_ratio", "stopword_ratio", "quality_score",
@@ -1443,7 +1444,7 @@ FROM m
 
 
 def q_text_tokens(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ta.token_count_ws(F.col("text")).alias("n_ws"),
@@ -1462,7 +1463,7 @@ FROM documents
 
 
 def q_text_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", ta.fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -1524,7 +1525,7 @@ FROM t
 # --- dedup: keep-one projection ----------------------------------------------
 
 def q_dedup_keep_one(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return dedup.dedup_exact(docs, text_col="text").select("doc_id", "n_chars")
 
 
