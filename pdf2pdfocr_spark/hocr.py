@@ -64,6 +64,10 @@ class HocrPage:
 
 def _element_text(element: ET.Element) -> str:
     """Recursive text+tail concat (pdf2pdfocr.py:323-334)."""
+    # leaf fast path (the overwhelmingly common hOCR word span: text only,
+    # no children, no tail) — same result as the general recursion below
+    if len(element) == 0 and element.tail is None:
+        return element.text or ""
     text = ""
     if element.text is not None:
         text += element.text
@@ -79,8 +83,7 @@ def _bbox_of(element: ET.Element):
     m = BBOX_RE.search(title)
     if m is None:
         return None
-    coords = m.group(1).split()
-    return tuple(int(c) for c in coords)
+    return tuple(map(int, m.group(1).split()))
 
 
 def parse_hocr(hocr: str) -> HocrPage:
@@ -98,25 +101,28 @@ def parse_hocr(hocr: str) -> HocrPage:
     root = ET.fromstring(hocr)
     # namespace-aware: reference regexes '{ns}html' (pdf2pdfocr.py:294-297);
     # ElementTree prefixes every tag with '{ns}' — strip by matching suffix.
-    def cls_of(el: ET.Element) -> str:
-        return el.attrib.get("class", "")
-
+    # ONE document walk collects the page div, word spans and line spans
+    # together (the classes are mutually exclusive, so the same elements are
+    # selected as the three separate root.iter() passes used to pick).
     page_dims = None
+    words_elems: list = []
+    line_elems: list = []
     for el in root.iter():
-        if el.tag.endswith("div") and cls_of(el) == "ocr_page":
+        cls = el.attrib.get("class", "")
+        if cls == "ocrx_word":
+            words_elems.append(el)
+        elif cls == "ocr_line":
+            line_elems.append(el)
+        elif page_dims is None and cls == "ocr_page" and el.tag.endswith("div"):
             bbox = _bbox_of(el)
             # bbox-less page div → (0,0,0,0) like element_coordinates
             page_dims = (bbox[2], bbox[3]) if bbox is not None else (0, 0)
-            break
     if page_dims is None:
         # reference aborts only when there is no ocr_page div (308-309)
         raise ValueError("hocr: no ocr_page div found")
 
-    words_elems = [el for el in root.iter() if cls_of(el) == "ocrx_word"]
     # fallback to lines when no word spans exist (pdf2pdfocr.py:398-402)
-    elems = words_elems if words_elems else [
-        el for el in root.iter() if cls_of(el) == "ocr_line"
-    ]
+    elems = words_elems if words_elems else line_elems
 
     out = []
     for el in elems:

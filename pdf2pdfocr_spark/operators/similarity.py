@@ -36,55 +36,6 @@ def _norm(a: Column) -> Column:
     )
 
 
-# --------------------------------------------------------------------------
-# Unrolled fixed-dimension vector math (optimization guide §4.1): the
-# higher-order-function forms above (zip_with/aggregate) are CodegenFallback
-# expressions — every element is an interpreted lambda eval with boxing, and
-# the whole projection drops out of whole-stage codegen. When the dimension
-# is known (it always is: planes/centroids/query vectors carry it), the same
-# left-fold ``((0.0 + a0·b0) + a1·b1) + …`` unrolls into a plain arithmetic
-# expression tree that codegen compiles — identical IEEE doubles (same
-# operand order, same ops), measured ~5-10× faster per row. ``F.get`` is
-# 0-based and null-safe (out-of-range → null), matching the HOF forms'
-# behaviour on malformed vectors without tripping ANSI mode.
-# --------------------------------------------------------------------------
-
-def _dot_n(a: Column, b: Column, dim: int) -> Column:
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + F.get(a, i) * F.get(b, i)
-    return out
-
-
-def _dot_lit(a: Column, vec: list) -> Column:
-    """Dot against a driver-side constant vector — the literal folds into
-    the codegen'd expression (no per-row array literal construction)."""
-    out = F.lit(0.0)
-    for i, v in enumerate(vec):
-        out = out + F.get(a, i) * F.lit(float(v))
-    return out
-
-
-def _norm_n(a: Column, dim: int) -> Column:
-    out = F.lit(0.0)
-    for i in range(dim):
-        e = F.get(a, i).cast("double")
-        out = out + e * e
-    return F.sqrt(out)
-
-
-def _norm_const(vec: list) -> float:
-    """Driver-side norm of a constant vector, same fold order as _norm —
-    Python floats ARE IEEE doubles, so the value is bit-identical to what
-    the per-row interpreted aggregate used to produce."""
-    import math
-
-    acc = 0.0
-    for v in vec:
-        acc = acc + float(v) * float(v)
-    return math.sqrt(acc)
-
-
 def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -103,17 +54,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``. Output:
     (vec_id, score) ordered by (-score, vec_id) — deterministic ties."""
-    v = F.col(vec_col).cast("array<double>")
-    dim = len(query_vec)
-    # unrolled cosine (same arithmetic as cosine_sim, codegen'd): the query
-    # norm is a driver-side constant — one sqrt total instead of one
-    # interpreted aggregate per row
-    sim = _dot_lit(v, query_vec) / (
-        _norm_n(v, dim) * F.lit(_norm_const(query_vec))
-    )
+    q = _vec_lit(query_vec)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(sim, round_to).alias("score"),
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), round_to)
+        .alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
@@ -128,7 +73,7 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list:
 
 def _bucket_of(vec_col: Column, planes: list) -> Column:
     bits = [
-        F.when(_dot_lit(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(_dot(vec_col, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
     ]
     out = bits[0]
@@ -295,7 +240,7 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list:
 
 
 def _cell_dots(vec_col: Column, centroids: list) -> Column:
-    return F.array(*[_dot_lit(vec_col, c) for c in centroids])
+    return F.array(*[_dot(vec_col, _vec_lit(c)) for c in centroids])
 
 
 def with_ivf_cell(
@@ -312,11 +257,17 @@ def with_ivf_cell(
     if "ivf_cell" in embeddings.columns:
         return embeddings
     v = F.col(vec_col).cast("array<double>")
-    dots = _cell_dots(v, centroids)
-    return embeddings.withColumn(
+    # two projections: the n_cells·dim dots array is materialized ONCE as a
+    # column and then referenced by array_position AND array_max — inlining
+    # the whole tree twice into one projection doubles the dominant per-row
+    # work at high cell counts. CollapseProject keeps the boundary (`_dots`
+    # is non-trivial and referenced twice). Same values, same cell.
+    tmp = embeddings.withColumn("_dots", _cell_dots(v, centroids))
+    return tmp.withColumn(
         "ivf_cell",
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-    )
+        (F.array_position(F.col("_dots"), F.array_max(F.col("_dots"))) - 1)
+        .cast("int"),
+    ).drop("_dots")
 
 
 def write_ivf_partitioned(
@@ -531,17 +482,25 @@ def knn_join(
     # norms hoisted per vector: computing cosine_sim per pair re-evaluates
     # norm(a) and norm(b) for every candidate (each as costly as the dot
     # itself — 3× the HOF work). Same arithmetic (dot / (norm_a · norm_b)),
-    # identical doubles, so the DuckDB oracle needs no change. Unrolled to
-    # the planes' dimension so the per-pair dot — the volume term, one per
-    # candidate pair — runs codegen'd instead of as an interpreted HOF.
-    dim = len(planes[0])
+    # identical doubles, so the DuckDB oracle needs no change.
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", _norm_n(F.col("v"), dim))
+    ).withColumn("nrm", _norm(F.col("v")))
     cand = knn_candidates(embeddings, planes, bands, bucket_cap, id_col, vec_col)
-    pairs = (
-        cand.join(
+    # Score each UNORDERED pair once, then mirror (guide §1.2: halve the
+    # volume term). The capped bucket self-join emits every candidate in
+    # both orders — (a,b) is present iff (b,a) is — so scoring the a<b
+    # half and emitting the mirror via explode yields exactly the same row
+    # set with half the join probes, half the distinct volume (the a<b
+    # filter pushes below the distinct: both columns are grouping keys)
+    # and half the dot products. The mirrored score is bit-identical: the
+    # per-term products and the norm product commute in IEEE arithmetic
+    # (dot(a,b) ≡ dot(b,a), nrm_a·nrm_b ≡ nrm_b·nrm_a). explode — not a
+    # self-union — keeps the scored subtree evaluated ONCE in the plan.
+    half = cand.filter(F.col("vec_id") < F.col("neighbour_id"))
+    scored = (
+        half.join(
             vecs.select("vec_id", F.col("v").alias("v_a"),
                         F.col("nrm").alias("nrm_a")),
             "vec_id",
@@ -557,12 +516,28 @@ def knn_join(
             "vec_id",
             "neighbour_id",
             F.round(
-                _dot_n(F.col("v_a"), F.col("v_b"), dim)
+                _dot(F.col("v_a"), F.col("v_b"))
                 / (F.col("nrm_a") * F.col("nrm_b")),
                 round_to,
             ).alias("score"),
         )
     )
+    pairs = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("neighbour_id").alias("neighbour_id"),
+                    F.col("score").alias("score"),
+                ),
+                F.struct(
+                    F.col("neighbour_id").alias("vec_id"),
+                    F.col("vec_id").alias("neighbour_id"),
+                    F.col("score").alias("score"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.vec_id", "p.neighbour_id", "p.score")
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbour_id"))
     return (
         pairs.withColumn("_rn", F.row_number().over(w))

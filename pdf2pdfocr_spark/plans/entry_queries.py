@@ -124,7 +124,10 @@ FROM lineitem WHERE l_discount = 0.0 GROUP BY l_returnflag
 # --- R1/S6: ordered reassembly + ordered concat -----------------------------
 
 def q_r1_ordered_concat(spark, sf_dir):
-    li = fan_out(_t(spark, sf_dir, "lineitem"))
+    # no fan_out: partial collect_list is cheap map-side; the heavy
+    # array_sort runs post-shuffle (parallel already) — measured neutral-to-
+    # worse with an extra exchange
+    li = _t(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
         F.concat_ws(
             "",
@@ -670,7 +673,9 @@ FROM orders
 # --- dedup: exact -----------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    docs = fan_out(_t(spark, sf_dir, "documents"))
+    # no fan_out: one md5 per row is cheap map-side work; the groupBy
+    # already parallelizes post-shuffle (fan_out measured as a net loss)
+    docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(
             F.md5(dedup.normalize_text(F.col("text"))).alias("content_hash"),
@@ -1525,7 +1530,7 @@ FROM t
 # --- dedup: keep-one projection ----------------------------------------------
 
 def q_dedup_keep_one(spark, sf_dir):
-    docs = fan_out(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_exact(docs, text_col="text").select("doc_id", "n_chars")
 
 
